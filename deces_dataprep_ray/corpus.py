@@ -1,0 +1,192 @@
+"""Deterministic synthetic Common-Crawl-style pages corpus (FIXTURES.md F1).
+
+Schema per BASELINE.json ``input_hint``:
+  url:string, warc_ts:timestamp[us], html:binary, text:large_string, lang:string
+
+Every cell is a pure function of (seed, row sequence number) via a
+counter-based hash (splitmix64), so generation is deterministic regardless of
+batch boundaries or parallelism — the same row is byte-identical whether
+generated on 1 CPU or 32. Vocabulary is Zipf(s≈1.1) over ~10k terms with
+accented words planted in the head so head-term skew and the fold chain are
+both exercised at small scale.
+
+The html column embeds exactly ``text`` (entity-escaped for a deterministic
+subset of rows), so ``extract_text(html) == text`` byte-identically — the
+per-row invariant the reference pattern requires (SURVEY.md §7.4).
+"""
+
+from __future__ import annotations
+
+import html as _htmlmod
+import os
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+EPOCH_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00 in microseconds
+
+_ACCENTED = [
+    "café", "sèvres", "crème", "hôtel", "œuvre", "élève", "münchen", "köln",
+    "garçon", "noël", "zürich", "señor", "país", "beyoglu", "łódź", "istanbul",
+]
+_LANGS = np.asarray(["en", "fr", "de", "es", "zh"], dtype=object)
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 — counter-based deterministic hash."""
+    z = (x + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+    z ^= z >> np.uint64(30)
+    z *= np.uint64(0xBF58476D1CE4E5B9)
+    z ^= z >> np.uint64(27)
+    z *= np.uint64(0x94D049BB133111EB)
+    z ^= z >> np.uint64(31)
+    return z
+
+
+def build_vocab(size: int = 10_000, s: float = 1.1) -> tuple[np.ndarray, np.ndarray]:
+    """(vocab terms, Zipf CDF). Accented terms planted at ranks 5,17,29,…"""
+    vocab = np.asarray([f"term{i}" for i in range(size)], dtype=object)
+    for j, w in enumerate(_ACCENTED):
+        vocab[5 + 12 * j] = w
+    vocab[3] = "42"
+    vocab[11] = "2024"
+    ranks = np.arange(1, size + 1, dtype=np.float64)
+    p = ranks ** (-s)
+    p /= p.sum()
+    return vocab, np.cumsum(p)
+
+
+_VOCAB, _CDF = build_vocab()
+
+
+def generate_rows(seq: np.ndarray, seed: int = 42) -> dict:
+    """Generate the pages rows for an array of sequence numbers (int64)."""
+    seq = np.asarray(seq, dtype=np.uint64)
+    n = len(seq)
+    base = _mix64(seq * np.uint64(0x10001) + np.uint64(seed))
+    ntok = (20 + (base % np.uint64(381))).astype(np.int64)  # 20..400 tokens
+    site = (_mix64(base + np.uint64(1)) % np.uint64(997)).astype(np.int64)
+    lang_h = _mix64(base + np.uint64(2))
+    esc_h = _mix64(base + np.uint64(3)) % np.uint64(100)
+
+    offsets = np.concatenate(([0], np.cumsum(ntok)))
+    total = int(offsets[-1])
+    # per-token counter: doc_seq * 2^20 + position (docs cap at 400 tokens)
+    tok_doc = np.repeat(seq, ntok)
+    tok_pos = np.arange(total, dtype=np.uint64) - np.repeat(
+        offsets[:-1].astype(np.uint64), ntok
+    )
+    u = _mix64(tok_doc * np.uint64(1 << 20) + tok_pos + np.uint64(seed * 7919))
+    unif = (u >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+    tok_idx = np.searchsorted(_CDF, unif, side="left")
+    toks = _VOCAB[np.minimum(tok_idx, len(_VOCAB) - 1)]
+
+    texts = [" ".join(toks[offsets[i]: offsets[i + 1]]) for i in range(n)]
+    urls = [f"https://site{site[i]}.example/p/{int(seq[i])}" for i in range(n)]
+    langs = _LANGS[(lang_h % np.uint64(len(_LANGS))).astype(np.int64)]
+    langs = langs.copy()
+    langs[(lang_h % np.uint64(53)) == 0] = None  # a few nulls
+    htmls = []
+    for i in range(n):
+        body = texts[i]
+        if esc_h[i] < 20:  # deterministic subset carries entities
+            body = body.replace("é", "&eacute;").replace("è", "&egrave;")
+        htmls.append(
+            (
+                f"<html><head><title>page {int(seq[i])}</title>"
+                f'<meta charset="utf-8"/></head>'
+                f'<body><div class="nav">site{site[i]}</div>'
+                f"<p>{body}</p><!-- noise --></body></html>"
+            ).encode("utf-8")
+        )
+    ts = (EPOCH_US + seq * np.uint64(1_000_000)).astype(np.int64)
+    return {
+        "url": urls,
+        "warc_ts": ts,
+        "html": htmls,
+        "text": texts,
+        "lang": langs,
+    }
+
+
+PAGES_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("warc_ts", pa.timestamp("us")),
+        ("html", pa.binary()),
+        ("text", pa.large_string()),
+        ("lang", pa.string()),
+    ]
+)
+
+
+def rows_to_table(rows: dict) -> pa.Table:
+    return pa.table(
+        {
+            "url": pa.array(rows["url"], pa.string()),
+            "warc_ts": pa.array(rows["warc_ts"], pa.timestamp("us")),
+            "html": pa.array(rows["html"], pa.binary()),
+            "text": pa.array(rows["text"], pa.large_string()),
+            "lang": pa.array(rows["lang"], pa.string()),
+        }
+    )
+
+
+def write_pages_corpus(
+    out_dir: str,
+    num_docs: int,
+    seed: int = 42,
+    shard_rows: int = 50_000,
+) -> list[str]:
+    """Write the corpus as sharded parquet (resumable: one file per shard,
+    skipped if already present). Driver-side loop is fine here — generation is
+    test/bench scaffolding, not the engine."""
+    os.makedirs(out_dir, exist_ok=True)
+    paths = []
+    for shard, lo in enumerate(range(0, num_docs, shard_rows)):
+        hi = min(lo + shard_rows, num_docs)
+        path = os.path.join(out_dir, f"pages-{shard:05d}.parquet")
+        paths.append(path)
+        if os.path.exists(path):
+            continue
+        tbl = rows_to_table(generate_rows(np.arange(lo, hi), seed=seed))
+        tmp = path + ".tmp"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, path)
+    return paths
+
+
+# ---------------------------------------------------------------------------
+# Extraction: html → text, byte-identical per url across runs / parallelism.
+# ---------------------------------------------------------------------------
+
+_P_RE = re.compile(rb"<p>(.*?)</p>", re.S)
+_TAG_RE = re.compile(r"<[^>]+>")
+_WS_RE = re.compile(r"\s+")
+
+
+def extract_text(html_bytes: bytes) -> str:
+    """Canonical extraction: concatenate <p> block contents, strip any nested
+    tags, unescape HTML entities, collapse whitespace. One frozen function —
+    the per-url byte-identity invariant depends on it (SURVEY.md §7.4)."""
+    parts = _P_RE.findall(html_bytes)
+    raw = b" ".join(parts).decode("utf-8", errors="replace")
+    raw = _TAG_RE.sub(" ", raw)
+    raw = _htmlmod.unescape(raw)
+    return _WS_RE.sub(" ", raw).strip()
+
+
+class ExtractText:
+    """Actor-pool stage: pages(html) → +text column (overwrites if present).
+
+    Drops ``html`` on output — at 100 TB the binary column dominates block
+    size and must not travel further down the pipeline (SURVEY.md §7.4).
+    """
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = [extract_text(h) for h in batch["html"].to_pylist()]
+        cols = {name: batch[name] for name in batch.column_names if name not in ("html", "text")}
+        cols["text"] = pa.array(texts, pa.large_string())
+        return pa.table(cols)

@@ -1,0 +1,172 @@
+"""Vectorized varbyte / delta codecs and posting-block layout.
+
+The reference delegates posting-list storage to Lucene (see SURVEY.md §2.4;
+`projects/deces-dataprep/datasets/deces_index.yml` declares the index but the
+posting format is Lucene-internal). Here we own it: sorted doc_ids are
+delta-encoded then varbyte-compressed; term frequencies and doc lengths are
+varbyte-compressed as-is; per-block metadata (last doc_id, byte offsets, max
+BM25 weight) supports block-max WAND skipping.
+
+All codecs are numpy-vectorized: encode/decode cost is O(total bytes) with a
+constant number (<=10) of vectorized passes — no per-value Python loops.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_U64 = np.uint64
+_SEVEN = _U64(7)
+_MASK7 = _U64(0x7F)
+
+
+def vb_encode(values: np.ndarray) -> bytes:
+    """Varbyte-encode an array of unsigned 64-bit ints (LSB-first, 0x80 = continue)."""
+    v = np.ascontiguousarray(values, dtype=_U64)
+    n = v.size
+    if n == 0:
+        return b""
+    # byte-length per value: 1 + number of 7-bit groups above the first
+    nb = np.ones(n, dtype=np.int8)
+    for k in range(1, 10):
+        nb += (v >= _U64(1) << _U64(7 * k)).astype(np.int8)
+    out = np.zeros((n, 10), dtype=np.uint8)
+    for k in range(10):
+        out[:, k] = ((v >> _U64(7 * k)) & _MASK7).astype(np.uint8)
+    # continuation bit on every byte except each value's last
+    cols = np.arange(10, dtype=np.int8)
+    keep = cols[None, :] < nb[:, None]
+    cont = cols[None, :] < (nb - 1)[:, None]
+    out[cont] |= 0x80
+    return out[keep].tobytes()
+
+
+def vb_decode(buf: bytes | memoryview | np.ndarray, count: int | None = None) -> np.ndarray:
+    """Decode a varbyte stream back to uint64. ``count`` (if given) is validated."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if b.size == 0:
+        return np.empty(0, dtype=_U64)
+    is_last = b < 0x80
+    n = int(is_last.sum())
+    if count is not None and n != count:
+        raise ValueError(f"varbyte stream holds {n} values, expected {count}")
+    # value id per byte: 0-based index of the value the byte belongs to
+    vid = np.zeros(b.size, dtype=np.int64)
+    vid[1:] = np.cumsum(is_last[:-1])
+    # position of byte within its value
+    starts = np.flatnonzero(np.concatenate(([True], is_last[:-1])))
+    pos = np.arange(b.size, dtype=np.int64) - starts[vid]
+    payload = (b & 0x7F).astype(_U64)
+    vals = np.zeros(n, dtype=_U64)
+    for k in range(10):
+        sel = pos == k
+        if not sel.any():
+            break
+        vals[vid[sel]] |= payload[sel] << _U64(7 * k)
+    return vals
+
+
+def delta_encode(sorted_vals: np.ndarray) -> np.ndarray:
+    """First value absolute, then gaps. Input must be strictly increasing."""
+    v = np.ascontiguousarray(sorted_vals, dtype=_U64)
+    if v.size == 0:
+        return v
+    out = np.empty_like(v)
+    out[0] = v[0]
+    np.subtract(v[1:], v[:-1], out=out[1:])
+    return out
+
+
+def delta_decode(deltas: np.ndarray) -> np.ndarray:
+    d = np.ascontiguousarray(deltas, dtype=_U64)
+    return np.cumsum(d, dtype=_U64)
+
+
+def encode_postings_blocks(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    weights: np.ndarray,
+    block_size: int = 128,
+) -> dict:
+    """Encode one term's postings (sorted by doc_id) into block layout.
+
+    Each block holds up to ``block_size`` postings. Within a block, doc_ids are
+    delta-encoded (first doc of block i>0 is delta'd against block i-1's last
+    doc) so any block can be decoded independently given ``blk_last[i-1]``.
+
+    Returns dict with: doc_bytes, tf_bytes, dl_bytes (varbyte streams),
+    blk_last (uint64 per block), blk_max_w (float64 per block), blk_off_doc /
+    blk_off_tf / blk_off_dl (uint32 byte offset of each block; end offset is
+    the stream length), blk_count (int32 postings per block), n.
+    """
+    n = int(doc_ids.size)
+    doc_ids = np.ascontiguousarray(doc_ids, dtype=_U64)
+    deltas = delta_encode(doc_ids)
+    nblk = (n + block_size - 1) // block_size
+    blk_last = np.empty(nblk, dtype=_U64)
+    blk_max_w = np.empty(nblk, dtype=np.float64)
+    blk_count = np.empty(nblk, dtype=np.int32)
+    off_doc = np.empty(nblk, dtype=np.uint32)
+    off_tf = np.empty(nblk, dtype=np.uint32)
+    off_dl = np.empty(nblk, dtype=np.uint32)
+    doc_parts: list[bytes] = []
+    tf_parts: list[bytes] = []
+    dl_parts: list[bytes] = []
+    pos_doc = pos_tf = pos_dl = 0
+    for i in range(nblk):
+        lo, hi = i * block_size, min((i + 1) * block_size, n)
+        blk_last[i] = doc_ids[hi - 1]
+        blk_max_w[i] = float(weights[lo:hi].max())
+        blk_count[i] = hi - lo
+        db = vb_encode(deltas[lo:hi])
+        tb = vb_encode(tfs[lo:hi])
+        lb = vb_encode(dls[lo:hi])
+        off_doc[i], off_tf[i], off_dl[i] = pos_doc, pos_tf, pos_dl
+        pos_doc += len(db)
+        pos_tf += len(tb)
+        pos_dl += len(lb)
+        doc_parts.append(db)
+        tf_parts.append(tb)
+        dl_parts.append(lb)
+    return {
+        "n": n,
+        "doc_bytes": b"".join(doc_parts),
+        "tf_bytes": b"".join(tf_parts),
+        "dl_bytes": b"".join(dl_parts),
+        "blk_last": blk_last,
+        "blk_max_w": blk_max_w,
+        "blk_count": blk_count,
+        "blk_off_doc": off_doc,
+        "blk_off_tf": off_tf,
+        "blk_off_dl": off_dl,
+    }
+
+
+def decode_postings_blocks(enc: dict) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode a full block-encoded posting list → (doc_ids, tfs, dls)."""
+    n = enc["n"]
+    deltas = vb_decode(enc["doc_bytes"], n)
+    tfs = vb_decode(enc["tf_bytes"], n)
+    dls = vb_decode(enc["dl_bytes"], n)
+    return delta_decode(deltas), tfs, dls
+
+
+def decode_block(enc: dict, i: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode a single block i independently → (doc_ids, tfs, dls)."""
+    nblk = len(enc["blk_last"])
+    lo_doc = int(enc["blk_off_doc"][i])
+    hi_doc = int(enc["blk_off_doc"][i + 1]) if i + 1 < nblk else len(enc["doc_bytes"])
+    lo_tf = int(enc["blk_off_tf"][i])
+    hi_tf = int(enc["blk_off_tf"][i + 1]) if i + 1 < nblk else len(enc["tf_bytes"])
+    lo_dl = int(enc["blk_off_dl"][i])
+    hi_dl = int(enc["blk_off_dl"][i + 1]) if i + 1 < nblk else len(enc["dl_bytes"])
+    cnt = int(enc["blk_count"][i])
+    deltas = vb_decode(enc["doc_bytes"][lo_doc:hi_doc], cnt)
+    docs = delta_decode(deltas)
+    if i > 0:
+        # first delta of block i is relative to block i-1's last doc
+        docs += enc["blk_last"][i - 1]
+    tfs = vb_decode(enc["tf_bytes"][lo_tf:hi_tf], cnt)
+    dls = vb_decode(enc["dl_bytes"][lo_dl:hi_dl], cnt)
+    return docs, tfs, dls

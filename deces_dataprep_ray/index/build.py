@@ -1,0 +1,643 @@
+"""Inverted-index build: Ray-Data-native SPIMI → salted shuffle → bucket files.
+
+The reference streams cleaned chunks into Elasticsearch and lets Lucene build
+the inverted index (`Makefile:161-175` recipe-run → ES bulk; analysis config
+`datasets/deces_index.yml`). Here the build is owned end-to-end as a Ray Data
+pipeline:
+
+  read_parquet(pages)
+    → map_batches(AnalyzeDocs, actor pool)       # tokenize, fold, tf per doc
+    → write_parquet(analyzed/)                   # checkpoint + docstore
+  read(analyzed[dl])      → aggregate            # N, total_dl, avgdl
+  read(analyzed[terms])   → per-batch unique → groupby(term).sum  # head terms
+  read(analyzed)          → map_batches(EmitPartials, actor pool) # SPIMI:
+        per-batch (term, seg) partial postings, sorted by doc_id, routed to a
+        term-hash bucket; head terms are SALTED into ``salt_shards`` doc-range
+        segments so no single group holds a Zipf head term's full postings
+    → groupby("bucket").map_groups(build_bucket) # merge partials, delta+varbyte
+        encode with per-block max-weight metadata, write bucket atomically
+
+Scale notes (designed for 10^12 docs / 100 TB, tested single-node):
+- The analyzed checkpoint is written once; every later phase prunes columns at
+  the read (dl-only for stats, terms-only for head detection), so no phase
+  re-tokenizes and no phase reads the html/text payload again.
+- Map-side combine (per-batch partial postings as Arrow list columns) shrinks
+  the shuffle: the groupby moves one row per (term, seg, input batch), not one
+  row per posting.
+- Head-term salting bounds the largest shuffle group at ~1/salt_shards of the
+  hottest term; segments are doc_id-range-contiguous, so the final posting
+  list is the ordered concatenation of its segments (merged lazily by the
+  reader, or eagerly by ``compact_head_segments`` for small indexes).
+- Every bucket output is atomic (tmp+rename) with an ``_OK.json`` sidecar
+  (rows/bytes/checksum/lineage); a rerun skips finished buckets mid-shuffle —
+  the fine-grained replacement for the reference's snapshot skip
+  (`Makefile:177-181`).
+"""
+
+from __future__ import annotations
+
+import functools
+import hashlib
+import io
+import os
+import shutil
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+from ..functions.analysis import term_freqs_many
+from ..functions.codecs import encode_postings_blocks
+from ..functions.ids import doc_ids_from_urls, term_buckets
+from ..state.manifest import (
+    OK_NAME,
+    Manifest,
+    atomic_write_json,
+    bucket_dir,
+    done_buckets,
+    read_json,
+)
+
+ANALYZER_VERSION = "norm-v1"  # bump when analysis.py changes semantics
+
+
+# ---------------------------------------------------------------------------
+# Phase A: analyze → per-doc checkpoint
+# ---------------------------------------------------------------------------
+
+class AnalyzeDocs:
+    """Actor-pool stage: pages → (doc_id, url, dl, terms, tfs).
+
+    Stateful setup (fold tables / compiled regexes import-time in analysis.py)
+    is amortized per actor; __call__ is one vectorized pass per batch.
+    """
+
+    def __init__(self, url_col: str = "url", text_col: str = "text"):
+        self.url_col = url_col
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch[self.url_col].to_pylist()
+        texts = batch[self.text_col].to_pylist()
+        texts = ["" if t is None else t for t in texts]
+        terms, tfs, dl = term_freqs_many(texts)
+        doc_ids = doc_ids_from_urls(urls)
+        lens = np.fromiter((len(t) for t in terms), dtype=np.int64, count=len(terms))
+        offsets = np.zeros(len(terms) + 1, dtype=np.int64)
+        np.cumsum(lens, out=offsets[1:])
+        flat_terms = (
+            np.concatenate(terms) if offsets[-1] else np.empty(0, dtype=object)
+        )
+        flat_tfs = (
+            np.concatenate(tfs) if offsets[-1] else np.empty(0, dtype=np.uint32)
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.uint64()),
+                "url": pa.array(urls, pa.string()),
+                "dl": pa.array(dl, pa.uint32()),
+                "terms": pa.LargeListArray.from_arrays(
+                    pa.array(offsets, pa.int64()),
+                    pa.array(flat_terms, pa.large_string()),
+                ),
+                "tfs": pa.ListArray.from_arrays(
+                    pa.array(offsets.astype(np.int32), pa.int32()),
+                    pa.array(flat_tfs, pa.uint32()),
+                ),
+            }
+        )
+
+
+# ---------------------------------------------------------------------------
+# Phase C helpers: head-term detection (df pre-pass)
+# ---------------------------------------------------------------------------
+
+def _df_partials(batch: pa.Table) -> pa.Table:
+    """Per-batch partial document frequencies: one (term, df) row per unique
+    term per batch — the map-side combine that keeps the df groupby small."""
+    col = batch["terms"].combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    if len(flat) == 0:
+        return pa.table({"term": pa.array([], pa.large_string()),
+                         "df": pa.array([], pa.int64())})
+    uq, cnt = np.unique(flat, return_counts=True)
+    return pa.table({"term": pa.array(uq, pa.large_string()),
+                     "df": pa.array(cnt, pa.int64())})
+
+
+# ---------------------------------------------------------------------------
+# Phase D: SPIMI partial-postings emission (map-side combine)
+# ---------------------------------------------------------------------------
+
+class EmitPartials:
+    """Actor-pool stage: analyzed rows → per-(term, seg) partial postings.
+
+    State per actor: the broadcast head-term set (ray.put once on the driver,
+    fetched once per actor — never re-shipped per batch) and the precomputed
+    head-term → per-salt bucket routing matrix.
+    """
+
+    def __init__(
+        self,
+        head_ref: Any,
+        num_buckets: int,
+        salt_shards: int,
+        skip_buckets: tuple[int, ...] = (),
+    ):
+        if head_ref is None:
+            heads: list[str] = []
+        elif isinstance(head_ref, ray.ObjectRef):
+            heads = ray.get(head_ref)
+        else:
+            heads = list(head_ref)
+        self.num_buckets = num_buckets
+        self.salt_shards = salt_shards
+        self.salt_shift = np.uint64(63 - max(0, salt_shards.bit_length() - 1))
+        self.head_row = {t: i for i, t in enumerate(heads)}
+        # routing matrix: head term i × salt s → bucket
+        mat = np.empty((max(1, len(heads)), salt_shards), dtype=np.int64)
+        for i, t in enumerate(heads):
+            for s in range(salt_shards):
+                h = hashlib.blake2b(
+                    f"{t}\x00{s}".encode("utf-8"), digest_size=8
+                ).digest()
+                mat[i, s] = int.from_bytes(h, "big") % num_buckets
+        self.head_mat = mat
+        self.skip = np.asarray(sorted(skip_buckets), dtype=np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        tbl = batch.combine_chunks()
+        terms_col = tbl["terms"].combine_chunks()
+        tfs_col = tbl["tfs"].combine_chunks()
+        flat_terms = terms_col.flatten().to_numpy(zero_copy_only=False)
+        flat_tfs = tfs_col.flatten().to_numpy(zero_copy_only=False).astype(np.uint32)
+        lens = pc.list_value_length(terms_col).to_numpy().astype(np.int64)
+        doc_rep = np.repeat(tbl["doc_id"].to_numpy(), lens).astype(np.uint64)
+        dl_rep = np.repeat(tbl["dl"].to_numpy(), lens).astype(np.uint32)
+        if len(flat_terms) == 0:
+            return _empty_partials()
+
+        uq, inv = np.unique(flat_terms, return_inverse=True)
+        buckets_uq = term_buckets(uq, self.num_buckets).astype(np.int64)
+        head_row_uq = np.full(len(uq), -1, dtype=np.int64)
+        for i, t in enumerate(uq):
+            r = self.head_row.get(t)
+            if r is not None:
+                head_row_uq[i] = r
+
+        salt = np.zeros(len(flat_terms), dtype=np.uint64)
+        bucket = buckets_uq[inv]
+        hr = head_row_uq[inv]
+        is_head = hr >= 0
+        if is_head.any():
+            salt[is_head] = doc_rep[is_head] >> self.salt_shift
+            bucket[is_head] = self.head_mat[
+                hr[is_head], salt[is_head].astype(np.int64)
+            ]
+
+        if self.skip.size:
+            keep = ~np.isin(bucket, self.skip)
+            if not keep.all():
+                inv, salt, bucket = inv[keep], salt[keep], bucket[keep]
+                doc_rep, dl_rep, flat_tfs = doc_rep[keep], dl_rep[keep], flat_tfs[keep]
+            if len(inv) == 0:
+                return _empty_partials()
+
+        order = np.lexsort((doc_rep, salt, inv))
+        inv_s = inv[order]
+        salt_s = salt[order]
+        group_change = np.empty(len(order), dtype=bool)
+        group_change[0] = True
+        np.not_equal(inv_s[1:], inv_s[:-1], out=group_change[1:])
+        group_change[1:] |= salt_s[1:] != salt_s[:-1]
+        starts = np.flatnonzero(group_change)
+        offsets = np.concatenate((starts, [len(order)])).astype(np.int64)
+
+        row_term = uq[inv_s[starts]]
+        row_seg = salt_s[starts].astype(np.int32)
+        row_bucket = bucket[order][starts]
+        off_arr = pa.array(offsets, pa.int64())
+        return pa.table(
+            {
+                "bucket": pa.array(row_bucket, pa.int64()),
+                "term": pa.array(row_term, pa.large_string()),
+                "seg": pa.array(row_seg, pa.int32()),
+                "docs": pa.LargeListArray.from_arrays(
+                    off_arr, pa.array(doc_rep[order], pa.uint64())
+                ),
+                "tfs": pa.LargeListArray.from_arrays(
+                    off_arr, pa.array(flat_tfs[order], pa.uint32())
+                ),
+                "dls": pa.LargeListArray.from_arrays(
+                    off_arr, pa.array(dl_rep[order], pa.uint32())
+                ),
+            }
+        )
+
+
+def _empty_partials() -> pa.Table:
+    off = pa.array([0], pa.int64())
+    return pa.table(
+        {
+            "bucket": pa.array([], pa.int64()),
+            "term": pa.array([], pa.large_string()),
+            "seg": pa.array([], pa.int32()),
+            "docs": pa.LargeListArray.from_arrays(off, pa.array([], pa.uint64())),
+            "tfs": pa.LargeListArray.from_arrays(off, pa.array([], pa.uint32())),
+            "dls": pa.LargeListArray.from_arrays(off, pa.array([], pa.uint32())),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# Phase D reduce: merge partials per bucket, encode, write atomically
+# ---------------------------------------------------------------------------
+
+BUCKET_SCHEMA = pa.schema(
+    [
+        ("term", pa.large_string()),
+        ("seg", pa.int32()),
+        ("df", pa.int64()),
+        ("cf", pa.int64()),
+        ("n", pa.int64()),
+        ("doc_bytes", pa.large_binary()),
+        ("tf_bytes", pa.large_binary()),
+        ("dl_bytes", pa.large_binary()),
+        ("blk_last", pa.list_(pa.uint64())),
+        ("blk_max_w", pa.list_(pa.float64())),
+        ("blk_count", pa.list_(pa.int32())),
+        ("blk_off_doc", pa.list_(pa.uint32())),
+        ("blk_off_tf", pa.list_(pa.uint32())),
+        ("blk_off_dl", pa.list_(pa.uint32())),
+    ]
+)
+
+
+def bm25_weight(
+    tfs: np.ndarray, dls: np.ndarray, avgdl: float, k1: float, b: float
+) -> np.ndarray:
+    """The doc-dependent BM25 factor tf/(tf + k1*(1-b+b*dl/avgdl)).
+
+    Frozen float64 formula — block-max metadata, the exhaustive oracle and
+    WAND all call this exact function so scores match bit-for-bit
+    (SURVEY.md §7.4 "rank-identical BM25")."""
+    tf = tfs.astype(np.float64)
+    norm = k1 * (1.0 - b + b * (dls.astype(np.float64) / avgdl))
+    return tf / (tf + norm)
+
+
+def build_bucket(
+    group: pa.Table,
+    *,
+    index_dir: str,
+    cfg_hash: str,
+    avgdl: float,
+    k1: float,
+    b: float,
+    block_size: int,
+) -> pa.Table:
+    """Reduce one bucket: merge per-batch partials per (term, seg), sort by
+    doc_id, block-encode, write ``bucket=NNNNN/part.parquet`` atomically with
+    an _OK sidecar. Returns one manifest row."""
+    bucket = int(group["bucket"][0].as_py())
+    tbl = group.combine_chunks()
+    docs_col = tbl["docs"].combine_chunks()
+    flat_docs = docs_col.flatten().to_numpy().astype(np.uint64)
+    flat_tfs = tbl["tfs"].combine_chunks().flatten().to_numpy().astype(np.uint32)
+    flat_dls = tbl["dls"].combine_chunks().flatten().to_numpy().astype(np.uint32)
+    lens = pc.list_value_length(docs_col).to_numpy().astype(np.int64)
+
+    terms = tbl["term"].to_numpy(zero_copy_only=False)
+    segs = tbl["seg"].to_numpy()
+    # factorize (term, seg) at row level, then explode to postings
+    tcodes, uq_terms = _factorize(terms)
+    row_key = tcodes.astype(np.int64) * np.int64(1 << 20) + segs.astype(np.int64)
+    key_rep = np.repeat(row_key, lens)
+    order = np.lexsort((flat_docs, key_rep))
+    key_s = key_rep[order]
+    docs_s = flat_docs[order]
+    tfs_s = flat_tfs[order]
+    dls_s = flat_dls[order]
+    weights_s = bm25_weight(tfs_s, dls_s, avgdl, k1, b)
+
+    change = np.empty(len(key_s), dtype=bool)
+    if len(key_s):
+        change[0] = True
+        np.not_equal(key_s[1:], key_s[:-1], out=change[1:])
+    starts = np.flatnonzero(change)
+    bounds = np.concatenate((starts, [len(key_s)])).astype(np.int64)
+
+    rows: dict[str, list] = {name: [] for name in BUCKET_SCHEMA.names}
+    for gi in range(len(starts)):
+        lo, hi = bounds[gi], bounds[gi + 1]
+        key = key_s[lo]
+        term = uq_terms[key >> 20]
+        seg = int(key & ((1 << 20) - 1))
+        d = docs_s[lo:hi]
+        # duplicate doc_ids for a term can only come from duplicate input rows
+        # (same url read twice); keep first occurrence for idempotence — the
+        # reference gets the same via ES _id upsert (deces_dataprep.yml:14-15)
+        if len(d) > 1 and (d[1:] == d[:-1]).any():
+            keep = np.empty(len(d), dtype=bool)
+            keep[0] = True
+            np.not_equal(d[1:], d[:-1], out=keep[1:])
+            d = d[keep]
+            t = tfs_s[lo:hi][keep]
+            l = dls_s[lo:hi][keep]
+            w = weights_s[lo:hi][keep]
+        else:
+            t = tfs_s[lo:hi]
+            l = dls_s[lo:hi]
+            w = weights_s[lo:hi]
+        enc = encode_postings_blocks(d, t, l, w, block_size=block_size)
+        rows["term"].append(term)
+        rows["seg"].append(seg)
+        rows["df"].append(len(d))
+        rows["cf"].append(int(t.sum()))
+        rows["n"].append(enc["n"])
+        rows["doc_bytes"].append(enc["doc_bytes"])
+        rows["tf_bytes"].append(enc["tf_bytes"])
+        rows["dl_bytes"].append(enc["dl_bytes"])
+        rows["blk_last"].append(enc["blk_last"])
+        rows["blk_max_w"].append(enc["blk_max_w"])
+        rows["blk_count"].append(enc["blk_count"])
+        rows["blk_off_doc"].append(enc["blk_off_doc"])
+        rows["blk_off_tf"].append(enc["blk_off_tf"])
+        rows["blk_off_dl"].append(enc["blk_off_dl"])
+
+    out = pa.table(
+        {name: pa.array(rows[name], BUCKET_SCHEMA.field(name).type)
+         for name in BUCKET_SCHEMA.names}
+    )
+    # deterministic layout: sort rows by (term, seg) for row-group pruning
+    out = out.sort_by([("term", "ascending"), ("seg", "ascending")])
+
+    bdir = bucket_dir(index_dir, bucket)
+    os.makedirs(bdir, exist_ok=True)
+    buf = io.BytesIO()
+    pq.write_table(out, buf, row_group_size=4096)
+    data = buf.getvalue()
+    checksum = hashlib.sha256(data).hexdigest()
+    part = os.path.join(bdir, "part.parquet")
+    tmp = part + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, part)
+    n_postings = int(np.sum(rows["n"])) if rows["n"] else 0
+    ok = {
+        "bucket": bucket,
+        "config_hash": cfg_hash,
+        "rows": out.num_rows,
+        "terms": len(set(rows["term"])),
+        "n_postings": n_postings,
+        "bytes": len(data),
+        "checksum": checksum,
+    }
+    atomic_write_json(os.path.join(bdir, OK_NAME), ok)
+    return pa.table(
+        {
+            "bucket": pa.array([bucket], pa.int64()),
+            "rows": pa.array([out.num_rows], pa.int64()),
+            "terms": pa.array([ok["terms"]], pa.int64()),
+            "n_postings": pa.array([n_postings], pa.int64()),
+            "bytes": pa.array([len(data)], pa.int64()),
+            "checksum": pa.array([checksum], pa.large_string()),
+        }
+    )
+
+
+def _factorize(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    uq, inv = np.unique(values, return_inverse=True)
+    return inv, uq
+
+
+# ---------------------------------------------------------------------------
+# The build driver
+# ---------------------------------------------------------------------------
+
+def _input_tag(paths: list[str]) -> str:
+    """Data-version tag: hash of sorted (name, size) — the reference's
+    ``data-tag`` bucket-listing equivalent (`Makefile:85-90`)."""
+    items = []
+    for p in sorted(paths):
+        try:
+            items.append((os.path.basename(p), os.path.getsize(p)))
+        except OSError:
+            items.append((os.path.basename(p), -1))
+    blob = repr(items).encode()
+    return hashlib.sha256(blob).hexdigest()[:12]
+
+
+def build_index(
+    source: str | list[str] | rd.Dataset,
+    index_dir: str,
+    *,
+    url_col: str = "url",
+    text_col: str = "text",
+    num_buckets: int = 32,
+    block_size: int = 128,
+    salt_shards: int = 8,
+    head_min_df: int | None = None,
+    head_df_ratio: float = 0.05,
+    k1: float = 1.2,
+    b: float = 0.75,
+    analyze_concurrency: int | tuple[int, int] = (1, 8),
+    emit_concurrency: int | tuple[int, int] = (1, 8),
+    batch_size: int = 2048,
+    input_tag: str | None = None,
+    resume: bool = True,
+) -> Manifest:
+    """Build (or resume) an inverted index at ``index_dir``. See module doc."""
+    assert salt_shards & (salt_shards - 1) == 0, "salt_shards must be a power of 2"
+    if isinstance(source, str):
+        paths = [source]
+    elif isinstance(source, list):
+        paths = source
+    else:
+        paths = None
+
+    tag = input_tag or (_input_tag(paths) if paths else "dataset")
+    cfg = {
+        "analyzer": ANALYZER_VERSION,
+        "url_col": url_col,
+        "text_col": text_col,
+        "num_buckets": num_buckets,
+        "block_size": block_size,
+        "salt_shards": salt_shards,
+        "head_min_df": head_min_df,
+        "head_df_ratio": head_df_ratio,
+        "k1": k1,
+        "b": b,
+        "input_tag": tag,
+    }
+
+    existing = Manifest.load(index_dir) if resume else None
+    if existing is not None and existing.compatible_with(cfg):
+        man = existing
+    else:
+        if os.path.exists(index_dir) and not resume:
+            shutil.rmtree(index_dir)
+        man = Manifest(index_dir, cfg)
+    man.save()
+
+    analyzed_dir = os.path.join(index_dir, "analyzed")
+
+    # --- Phase A: analyze + checkpoint -----------------------------------
+    if not man.phase_done("analyzed"):
+        if paths is not None:
+            ds = rd.read_parquet(paths, columns=[url_col, text_col])
+        else:
+            ds = source
+        analyzed = ds.map_batches(
+            AnalyzeDocs,
+            fn_constructor_kwargs={"url_col": url_col, "text_col": text_col},
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=analyze_concurrency,
+        )
+        tmp_dir = analyzed_dir + ".tmp"
+        if os.path.exists(tmp_dir):
+            shutil.rmtree(tmp_dir)
+        if os.path.exists(analyzed_dir):
+            shutil.rmtree(analyzed_dir)
+        analyzed.write_parquet(tmp_dir)
+        os.replace(tmp_dir, analyzed_dir)
+        man.mark_done("analyzed", dir="analyzed")
+
+    # --- Phase B: global doc stats ---------------------------------------
+    if not man.phase_done("stats"):
+        dl_ds = rd.read_parquet(analyzed_dir, columns=["dl"])
+        agg = dl_ds.aggregate(Sum("dl", alias_name="total_dl"), Count(alias_name="n_docs"))
+        n_docs = int(agg["n_docs"])
+        total_dl = int(agg["total_dl"] or 0)
+        avgdl = (total_dl / n_docs) if n_docs else 0.0
+        man.mark_done("stats", n_docs=n_docs, total_dl=total_dl, avgdl=avgdl)
+    stats = man.phase("stats")
+    avgdl = float(stats["avgdl"]) or 1.0
+
+    # --- Phase C: head-term detection (df pre-pass) ----------------------
+    if not man.phase_done("head_terms"):
+        min_df = head_min_df
+        if min_df is None:
+            min_df = max(64, int(stats["n_docs"] * head_df_ratio))
+        df_ds = (
+            rd.read_parquet(analyzed_dir, columns=["terms"])
+            .map_batches(_df_partials, batch_format="pyarrow", batch_size=batch_size)
+            .groupby("term")
+            .aggregate(Sum("df", alias_name="df"))
+        )
+        heads_tbl = df_ds.filter(
+            expr=f"df >= {int(min_df)}"
+        ).to_pandas()
+        heads = sorted(heads_tbl["term"].tolist())
+        man.mark_done(
+            "head_terms",
+            min_df=int(min_df),
+            terms=heads,
+            dfs={t: int(d) for t, d in zip(heads_tbl["term"], heads_tbl["df"])},
+        )
+    heads = list(man.phase("head_terms")["terms"])
+
+    # --- Phase D: postings (SPIMI → salted shuffle → bucket write) -------
+    if not man.phase_done("postings"):
+        done = done_buckets(index_dir, num_buckets, man.hash) if resume else {}
+        head_ref = ray.put(heads)
+        emit = rd.read_parquet(
+            analyzed_dir, columns=["doc_id", "dl", "terms", "tfs"]
+        ).map_batches(
+            EmitPartials,
+            fn_constructor_kwargs={
+                "head_ref": head_ref,
+                "num_buckets": num_buckets,
+                "salt_shards": salt_shards,
+                "skip_buckets": tuple(done.keys()),
+            },
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=emit_concurrency,
+        )
+        reduce_fn = functools.partial(
+            build_bucket,
+            index_dir=index_dir,
+            cfg_hash=man.hash,
+            avgdl=avgdl,
+            k1=k1,
+            b=b,
+            block_size=block_size,
+        )
+        manifest_rows = (
+            emit.groupby("bucket")
+            .map_groups(reduce_fn, batch_format="pyarrow")
+            .to_pandas()
+        )
+        buckets = {int(r.bucket): {
+            "rows": int(r.rows), "terms": int(r.terms),
+            "n_postings": int(r.n_postings), "bytes": int(r.bytes),
+            "checksum": r.checksum, "status": "done",
+        } for r in manifest_rows.itertuples()}
+        for bkt, ok in (done or {}).items():
+            buckets[int(bkt)] = {
+                "rows": ok["rows"], "terms": ok["terms"],
+                "n_postings": ok["n_postings"], "bytes": ok["bytes"],
+                "checksum": ok["checksum"], "status": "done",
+            }
+        man.mark_done(
+            "postings",
+            buckets={str(k): v for k, v in sorted(buckets.items())},
+            n_postings=int(sum(v["n_postings"] for v in buckets.values())),
+            bytes=int(sum(v["bytes"] for v in buckets.values())),
+        )
+    return man
+
+
+def compact_head_segments(index_dir: str) -> int:
+    """Hierarchical merge, final level: physically concatenate each head
+    term's doc-range segments into a single row under ``head/part.parquet``.
+
+    Optional — the reader already merges segments lazily (ordered concat);
+    this pass trades a small job for faster head-term lookups. At 10^12 docs
+    a head term's full postings exceed a single row, so this stays a
+    small-index optimization; segments are the scale representation."""
+    from .reader import IndexReader  # local import to avoid cycle
+
+    man = Manifest.load(index_dir)
+    if man is None:
+        raise FileNotFoundError(f"no manifest at {index_dir}")
+    heads = list(man.phase("head_terms")["terms"])
+    if not heads:
+        man.mark_done("head_compact", terms=0)
+        return 0
+    reader = IndexReader(index_dir)
+    cfg = man.doc["config"]
+    stats = man.phase("stats")
+    rows: dict[str, list] = {name: [] for name in BUCKET_SCHEMA.names}
+    for term in heads:
+        docs, tfs, dls = reader.postings(term)
+        if len(docs) == 0:
+            continue
+        w = bm25_weight(tfs, dls, float(stats["avgdl"]) or 1.0, cfg["k1"], cfg["b"])
+        enc = encode_postings_blocks(docs, tfs, dls, w, block_size=cfg["block_size"])
+        rows["term"].append(term)
+        rows["seg"].append(-1)
+        rows["df"].append(len(docs))
+        rows["cf"].append(int(tfs.sum()))
+        rows["n"].append(enc["n"])
+        for k in ("doc_bytes", "tf_bytes", "dl_bytes", "blk_last", "blk_max_w",
+                  "blk_count", "blk_off_doc", "blk_off_tf", "blk_off_dl"):
+            rows[k].append(enc[k])
+    out = pa.table(
+        {name: pa.array(rows[name], BUCKET_SCHEMA.field(name).type)
+         for name in BUCKET_SCHEMA.names}
+    ).sort_by([("term", "ascending")])
+    hdir = os.path.join(index_dir, "head")
+    os.makedirs(hdir, exist_ok=True)
+    tmp = os.path.join(hdir, "part.parquet.tmp")
+    pq.write_table(out, tmp, row_group_size=4096)
+    os.replace(tmp, os.path.join(hdir, "part.parquet"))
+    man.mark_done("head_compact", terms=out.num_rows)
+    return out.num_rows

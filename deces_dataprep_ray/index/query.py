@@ -1,0 +1,267 @@
+"""Top-k BM25 query engine: exhaustive oracle + block-max WAND.
+
+The reference's query side is an Elasticsearch ``match`` query ranked by
+``_score`` with Lucene practical BM25, k1=1.2, b=0.75 (no ``similarity``
+override in `datasets/deces_index.yml:6-38`). Here both the exhaustive oracle
+and the block-max WAND engine are owned, and are **rank- and score-identical**
+by construction:
+
+- score(d) = Σ_t idf(t) · tf/(tf + k1·(1−b+b·dl/avgdl)), accumulated in
+  float64 in ascending unique-term order (query terms sorted lexicographically
+  after analysis); idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)).
+- ties broken by ascending doc_id.
+- WAND skips a doc only when its block-max upper bound is strictly below the
+  current k-th score minus a 1e-9 guard band, so float rounding in the upper
+  bound can never drop a true top-k doc.
+"""
+
+from __future__ import annotations
+
+import heapq
+import math
+
+import numpy as np
+
+from ..functions.analysis import tokenize
+from ..functions.codecs import decode_block
+from .build import bm25_weight
+from .reader import IndexReader
+
+_EPS = 1e-9
+
+
+def analyze_query(query: str) -> list[str]:
+    """Query analysis = the same norm chain; unique terms, sorted."""
+    return sorted(set(tokenize(query)))
+
+
+def idf(n_docs: int, df: int) -> float:
+    return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+
+def _topk_from_scores(
+    doc_ids: np.ndarray, scores: np.ndarray, k: int
+) -> list[tuple[int, float]]:
+    """Select top-k by (score desc, doc_id asc)."""
+    n = len(doc_ids)
+    if n == 0:
+        return []
+    kk = min(k, n)
+    # partial select then exact order
+    if n > 4 * kk:
+        part = np.argpartition(-scores, kk - 1)[: 4 * kk]
+    else:
+        part = np.arange(n)
+    order = part[np.lexsort((doc_ids[part], -scores[part]))][:kk]
+    return [(int(doc_ids[i]), float(scores[i])) for i in order]
+
+
+def search_exact(
+    reader: IndexReader, query: str, k: int = 10
+) -> list[tuple[int, float]]:
+    """Exhaustive scorer — the oracle. Fully vectorized; accumulation order
+    per doc is ascending term order (terms iterated sorted)."""
+    terms = analyze_query(query)
+    gathered = []
+    for t in terms:
+        docs, tfs, dls = reader.postings(t)
+        if len(docs):
+            gathered.append((t, docs, tfs, dls))
+    if not gathered:
+        return []
+    union = np.unique(np.concatenate([g[1] for g in gathered]))
+    scores = np.zeros(len(union), dtype=np.float64)
+    for t, docs, tfs, dls in gathered:  # sorted term order
+        w = bm25_weight(tfs, dls, reader.avgdl, reader.k1, reader.b)
+        contrib = idf(reader.n_docs, len(docs)) * w
+        scores[np.searchsorted(union, docs)] += contrib
+    return _topk_from_scores(union, scores, k)
+
+
+class _Cursor:
+    """Posting cursor over a term's ordered segments with lazy block decode."""
+
+    __slots__ = (
+        "term", "order", "idf", "segs", "blk_last", "blk_max_w", "blk_seg",
+        "blk_local", "nblk", "bi", "pos", "cur_docs", "cur_w", "max_score",
+        "doc", "exhausted", "avgdl", "k1", "b",
+    )
+
+    def __init__(self, term: str, order: int, reader: IndexReader):
+        self.term = term
+        self.order = order
+        self.avgdl = reader.avgdl
+        self.k1 = reader.k1
+        self.b = reader.b
+        segs = reader.term_segments(term)
+        self.segs = segs
+        total_df = sum(r["df"] for r in segs)
+        self.idf = idf(reader.n_docs, total_df)
+        last, maxw, seg_idx, local = [], [], [], []
+        for si, r in enumerate(segs):
+            nb = len(r["blk_last"])
+            last.append(r["blk_last"])
+            maxw.append(r["blk_max_w"])
+            seg_idx.append(np.full(nb, si, dtype=np.int32))
+            local.append(np.arange(nb, dtype=np.int32))
+        self.blk_last = np.concatenate(last) if last else np.empty(0, np.uint64)
+        self.blk_max_w = np.concatenate(maxw) if maxw else np.empty(0, np.float64)
+        self.blk_seg = np.concatenate(seg_idx) if seg_idx else np.empty(0, np.int32)
+        self.blk_local = np.concatenate(local) if local else np.empty(0, np.int32)
+        self.nblk = len(self.blk_last)
+        self.max_score = float(self.blk_max_w.max()) * self.idf if self.nblk else 0.0
+        self.bi = -1
+        self.pos = 0
+        self.cur_docs = None
+        self.cur_w = None
+        self.doc = -1
+        self.exhausted = self.nblk == 0
+        if not self.exhausted:
+            self._load_block(0)
+            self.doc = int(self.cur_docs[0])
+
+    def _load_block(self, bi: int):
+        self.bi = bi
+        self.pos = 0
+        seg = self.segs[self.blk_seg[bi]]
+        docs, tfs, dls = decode_block(seg, int(self.blk_local[bi]))
+        self.cur_docs = docs
+        self.cur_w = bm25_weight(tfs, dls, self.avgdl, self.k1, self.b)
+
+    def block_max_contrib(self) -> float:
+        return float(self.blk_max_w[self.bi]) * self.idf
+
+    def contrib(self) -> float:
+        return self.idf * float(self.cur_w[self.pos])
+
+    def next_geq(self, target: int) -> int:
+        """Advance to first doc >= target; returns new current doc (or -1)."""
+        if self.exhausted:
+            return -1
+        t = np.uint64(target)
+        if self.blk_last[self.bi] < t:
+            nbi = self.bi + int(
+                np.searchsorted(self.blk_last[self.bi:], t, side="left")
+            )
+            if nbi >= self.nblk:
+                self.exhausted = True
+                self.doc = -1
+                return -1
+            self._load_block(nbi)
+        self.pos = int(np.searchsorted(self.cur_docs, t, side="left"))
+        if self.pos >= len(self.cur_docs):
+            # target falls in a gap right at block end
+            if self.bi + 1 >= self.nblk:
+                self.exhausted = True
+                self.doc = -1
+                return -1
+            self._load_block(self.bi + 1)
+        self.doc = int(self.cur_docs[self.pos])
+        return self.doc
+
+    def advance(self) -> int:
+        """Move one posting forward."""
+        if self.exhausted:
+            return -1
+        self.pos += 1
+        if self.pos >= len(self.cur_docs):
+            if self.bi + 1 >= self.nblk:
+                self.exhausted = True
+                self.doc = -1
+                return -1
+            self._load_block(self.bi + 1)
+        self.doc = int(self.cur_docs[self.pos])
+        return self.doc
+
+
+def _search_single_term(reader: IndexReader, term: str, k: int) -> list[tuple[int, float]]:
+    docs, tfs, dls = reader.postings(term)
+    if not len(docs):
+        return []
+    w = bm25_weight(tfs, dls, reader.avgdl, reader.k1, reader.b)
+    scores = idf(reader.n_docs, len(docs)) * w
+    return _topk_from_scores(docs, scores, k)
+
+
+def search_wand(
+    reader: IndexReader, query: str, k: int = 10
+) -> list[tuple[int, float]]:
+    """Block-max WAND top-k. Rank- and score-identical to ``search_exact``."""
+    terms = analyze_query(query)
+    if not terms:
+        return []
+    if len(terms) == 1:
+        return _search_single_term(reader, terms[0], k)
+    cursors = [
+        c for c in (_Cursor(t, i, reader) for i, t in enumerate(terms))
+        if not c.exhausted
+    ]
+    if not cursors:
+        return []
+
+    # heap entries: (score, -doc_id); min entry = current threshold
+    heap: list[tuple[float, int]] = []
+
+    def threshold() -> float:
+        return heap[0][0] if len(heap) >= k else -math.inf
+
+    while True:
+        live = [c for c in cursors if not c.exhausted]
+        if not live:
+            break
+        live.sort(key=lambda c: c.doc)
+        # find pivot: first cursor where cumulative global max >= threshold
+        th = threshold()
+        acc = 0.0
+        pivot_idx = -1
+        for i, c in enumerate(live):
+            acc += c.max_score
+            if acc >= th:
+                pivot_idx = i
+                break
+        if pivot_idx < 0:
+            break  # even all terms together cannot reach the threshold
+        pivot_doc = live[pivot_idx].doc
+
+        if live[0].doc == pivot_doc:
+            # all cursors ≤ pivot are aligned on pivot_doc
+            aligned = [c for c in live if c.doc == pivot_doc]
+            # block-max refinement
+            block_ub = sum(c.block_max_contrib() for c in aligned)
+            if block_ub < th - _EPS:
+                for c in aligned:
+                    c.next_geq(pivot_doc + 1)
+                continue
+            # full evaluation — accumulate in term order (== oracle order)
+            aligned.sort(key=lambda c: c.order)
+            score = 0.0
+            for c in aligned:
+                score += c.contrib()
+            entry = (score, -pivot_doc)
+            if len(heap) < k:
+                heapq.heappush(heap, entry)
+            elif entry > heap[0]:
+                heapq.heapreplace(heap, entry)
+            for c in aligned:
+                c.advance()
+        else:
+            # advance the lagging cursor with the largest idf to the pivot
+            lag = max(
+                (c for c in live[:pivot_idx] if c.doc < pivot_doc),
+                key=lambda c: c.max_score,
+                default=live[0],
+            )
+            lag.next_geq(pivot_doc)
+
+    out = sorted(heap, key=lambda e: (-e[0], -e[1]))
+    return [(-d, s) for s, d in out]
+
+
+def search(
+    reader: IndexReader, query: str, k: int = 10, algorithm: str = "wand"
+) -> list[tuple[int, float]]:
+    if algorithm == "wand":
+        return search_wand(reader, query, k)
+    if algorithm == "exact":
+        return search_exact(reader, query, k)
+    raise ValueError(f"unknown algorithm {algorithm!r}")

@@ -1,0 +1,139 @@
+"""Index reader: manifest + dictionaries + lazy posting-list access.
+
+The on-disk index is self-contained and relocatable (parquet + json only) —
+the property the reference gets from ES snapshot restore
+(`Makefile:206-220`): a consumer can copy ``index_dir`` and serve queries
+without rerunning the build.
+
+Term lookup routes through the same hashing as the build: a term lives in
+bucket ``term_hash % B``; a head term (listed in the manifest) additionally
+lives as doc-range segments in buckets ``hash(term\\x00salt) % B``. Segments
+are doc_id-range-contiguous and ordered by ``seg``, so the full posting list
+is their ordered concatenation — the reader performs this final merge level
+lazily. Parquet rows are sorted by term, so per-term reads prune row groups
+via column statistics.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from functools import lru_cache
+
+import numpy as np
+import pyarrow.compute as pc
+import pyarrow.dataset as pa_ds
+import pyarrow.parquet as pq
+
+from ..functions.codecs import decode_postings_blocks
+from ..functions.ids import term_hash
+from ..state.manifest import Manifest, bucket_dir
+
+
+class IndexReader:
+    def __init__(self, index_dir: str):
+        man = Manifest.load(index_dir)
+        if man is None:
+            raise FileNotFoundError(f"no manifest at {index_dir}")
+        self.index_dir = index_dir
+        self.manifest = man
+        cfg = man.doc["config"]
+        self.num_buckets = int(cfg["num_buckets"])
+        self.salt_shards = int(cfg["salt_shards"])
+        self.k1 = float(cfg["k1"])
+        self.b = float(cfg["b"])
+        stats = man.phase("stats")
+        self.n_docs = int(stats.get("n_docs", 0))
+        self.avgdl = float(stats.get("avgdl", 0.0)) or 1.0
+        self.head_terms = set(man.phase("head_terms").get("terms", []))
+        self.head_compacted = man.phase_done("head_compact")
+        self._head_path = os.path.join(index_dir, "head", "part.parquet")
+        self._term_rows = lru_cache(maxsize=4096)(self._term_rows_uncached)
+
+    # -- routing ----------------------------------------------------------
+
+    def buckets_for(self, term: str) -> list[int]:
+        if term in self.head_terms:
+            out = []
+            for s in range(self.salt_shards):
+                h = hashlib.blake2b(
+                    f"{term}\x00{s}".encode("utf-8"), digest_size=8
+                ).digest()
+                out.append(int.from_bytes(h, "big") % self.num_buckets)
+            return sorted(set(out))
+        return [term_hash(term) % self.num_buckets]
+
+    # -- posting access ---------------------------------------------------
+
+    def _read_term(self, path: str, term: str) -> list[dict]:
+        if not os.path.exists(path):
+            return []
+        tbl = pq.read_table(path, filters=[("term", "==", term)])
+        rows = []
+        for i in range(tbl.num_rows):
+            rows.append(
+                {
+                    "seg": tbl["seg"][i].as_py(),
+                    "df": tbl["df"][i].as_py(),
+                    "cf": tbl["cf"][i].as_py(),
+                    "n": tbl["n"][i].as_py(),
+                    "doc_bytes": tbl["doc_bytes"][i].as_py(),
+                    "tf_bytes": tbl["tf_bytes"][i].as_py(),
+                    "dl_bytes": tbl["dl_bytes"][i].as_py(),
+                    "blk_last": np.asarray(tbl["blk_last"][i].as_py(), dtype=np.uint64),
+                    "blk_max_w": np.asarray(tbl["blk_max_w"][i].as_py(), dtype=np.float64),
+                    "blk_count": np.asarray(tbl["blk_count"][i].as_py(), dtype=np.int32),
+                    "blk_off_doc": np.asarray(tbl["blk_off_doc"][i].as_py(), dtype=np.uint32),
+                    "blk_off_tf": np.asarray(tbl["blk_off_tf"][i].as_py(), dtype=np.uint32),
+                    "blk_off_dl": np.asarray(tbl["blk_off_dl"][i].as_py(), dtype=np.uint32),
+                }
+            )
+        return rows
+
+    def _term_rows_uncached(self, term: str) -> tuple[dict, ...]:
+        """All encoded segments for a term, ordered by seg (doc-range order)."""
+        if term in self.head_terms and self.head_compacted:
+            rows = self._read_term(self._head_path, term)
+            if rows:
+                return tuple(rows)
+        rows = []
+        for b in self.buckets_for(term):
+            rows.extend(
+                self._read_term(os.path.join(bucket_dir(self.index_dir, b), "part.parquet"), term)
+            )
+        rows.sort(key=lambda r: r["seg"])
+        return tuple(rows)
+
+    def term_segments(self, term: str) -> tuple[dict, ...]:
+        return self._term_rows(term)
+
+    def df(self, term: str) -> int:
+        return sum(r["df"] for r in self._term_rows(term))
+
+    def postings(self, term: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(doc_ids, tfs, dls), sorted by doc_id — ordered segment concat."""
+        rows = self._term_rows(term)
+        if not rows:
+            e = np.empty(0, dtype=np.uint64)
+            return e, e.astype(np.uint32), e.astype(np.uint32)
+        parts = [decode_postings_blocks(r) for r in rows]
+        docs = np.concatenate([p[0] for p in parts])
+        tfs = np.concatenate([p[1] for p in parts]).astype(np.uint32)
+        dls = np.concatenate([p[2] for p in parts]).astype(np.uint32)
+        return docs, tfs, dls
+
+    # -- docstore ---------------------------------------------------------
+
+    def resolve_urls(self, doc_ids: list[int]) -> dict[int, str]:
+        """doc_id → url via a filtered scan of the analyzed checkpoint
+        (column-pruned; row-group statistics prune most files)."""
+        dset = pa_ds.dataset(os.path.join(self.index_dir, "analyzed"))
+        want = pc.field("doc_id").isin([np.uint64(d) for d in doc_ids])
+        tbl = dset.to_table(columns=["doc_id", "url"], filter=want)
+        return dict(
+            zip(tbl["doc_id"].to_numpy().tolist(), tbl["url"].to_pylist())
+        )
+
+    def vocabulary_size(self) -> int:
+        p = self.manifest.phase("postings")
+        return int(sum(v["terms"] for v in p.get("buckets", {}).values()))
