@@ -520,26 +520,48 @@ def build_index(
     stats = man.phase("stats")
     avgdl = float(stats["avgdl"]) or 1.0
 
-    # --- Phase C: head-term detection (df pre-pass) ----------------------
-    if not man.phase_done("head_terms"):
-        min_df = head_min_df
-        if min_df is None:
-            min_df = max(64, int(stats["n_docs"] * head_df_ratio))
+    # --- Phase C: term dictionary + head-term detection (df pre-pass) ----
+    termstats_dir = os.path.join(index_dir, "termstats")
+    if not man.phase_done("termstats"):
         df_ds = (
             rd.read_parquet(analyzed_dir, columns=["terms"])
             .map_batches(_df_partials, batch_format="pyarrow", batch_size=batch_size)
             .groupby("term")
             .aggregate(Sum("df", alias_name="df"))
         )
-        heads_tbl = df_ds.filter(
-            expr=f"df >= {int(min_df)}"
-        ).to_pandas()
-        heads = sorted(heads_tbl["term"].tolist())
+        tmp_dir = termstats_dir + ".tmp"
+        for d in (tmp_dir, termstats_dir):
+            if os.path.exists(d):
+                shutil.rmtree(d)
+        df_ds.write_parquet(tmp_dir)
+        os.replace(tmp_dir, termstats_dir)
+        n_terms = sum(
+            pq.read_metadata(os.path.join(termstats_dir, f)).num_rows
+            for f in os.listdir(termstats_dir)
+            if f.endswith(".parquet")
+        )
+        man.mark_done("termstats", dir="termstats", n_terms=int(n_terms))
+
+    if not man.phase_done("head_terms"):
+        min_df = head_min_df
+        if min_df is None:
+            min_df = max(64, int(stats["n_docs"] * head_df_ratio))
+        import pyarrow.dataset as pa_dataset
+
+        heads_tbl = pa_dataset.dataset(termstats_dir).to_table(
+            filter=pc.field("df") >= int(min_df)
+        )
+        heads = sorted(heads_tbl["term"].to_pylist())
         man.mark_done(
             "head_terms",
             min_df=int(min_df),
             terms=heads,
-            dfs={t: int(d) for t, d in zip(heads_tbl["term"], heads_tbl["df"])},
+            dfs={
+                t: int(d)
+                for t, d in zip(
+                    heads_tbl["term"].to_pylist(), heads_tbl["df"].to_pylist()
+                )
+            },
         )
     heads = list(man.phase("head_terms")["terms"])
 

@@ -135,5 +135,4 @@ class IndexReader:
         )
 
     def vocabulary_size(self) -> int:
-        p = self.manifest.phase("postings")
-        return int(sum(v["terms"] for v in p.get("buckets", {}).values()))
+        return int(self.manifest.phase("termstats").get("n_terms", 0))

@@ -1,0 +1,204 @@
+"""End-to-end index build + query: rank identity, postings parity, resume.
+
+Mirrors the reference's end-to-end-only test strategy (SURVEY.md §5) but
+strengthens it with an independent brute-force oracle and byte-level resume
+checks (FIXTURES.md F4/F5).
+"""
+
+import json
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+from deces_dataprep_ray.functions.ids import doc_id_from_url
+from deces_dataprep_ray.index.build import build_index, compact_head_segments
+from deces_dataprep_ray.index.query import (
+    analyze_query,
+    idf,
+    search_exact,
+    search_wand,
+)
+from deces_dataprep_ray.index.reader import IndexReader
+
+QUERIES = [
+    "term1",
+    "term2 term3",
+    "term1 term2 term3 term4",
+    "café crème",
+    "sèvres 42",
+    "term50 term300",
+    "term1000 term2000 term1",
+    "münchen köln term7",
+    "zzz_absent",
+    "TERM1 TERM2",  # case-folds to same as term1 term2
+    "term4999",     # tail term
+]
+
+
+def brute_topk(inv, dls, query, k, k1=1.2, b=0.75):
+    n = len(dls)
+    avgdl = sum(dls.values()) / n
+    scores: dict[int, float] = {}
+    for t in analyze_query(query):
+        pl = inv.get(t)
+        if not pl:
+            continue
+        w_idf = idf(n, len(pl))
+        for d, tf in pl.items():
+            w = np.float64(tf) / (
+                np.float64(tf) + k1 * (1 - b + b * (np.float64(dls[d]) / avgdl))
+            )
+            scores[d] = scores.get(d, 0.0) + w_idf * float(w)
+    return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+
+def test_stats_match_bruteforce(built_index, brute_force):
+    idx, man = built_index
+    inv, dls = brute_force
+    r = IndexReader(idx)
+    assert r.n_docs == len(dls)
+    assert abs(r.avgdl - sum(dls.values()) / len(dls)) < 1e-9
+    assert r.vocabulary_size() == len(inv)
+
+
+def test_postings_parity(built_index, brute_force):
+    idx, _ = built_index
+    inv, _ = brute_force
+    r = IndexReader(idx)
+    some_terms = sorted(inv)[:50] + sorted(inv, key=lambda t: -len(inv[t]))[:20]
+    for t in some_terms:
+        docs, tfs, dls_arr = r.postings(t)
+        assert dict(zip(docs.tolist(), tfs.tolist())) == inv[t], t
+        assert (np.diff(docs.astype(np.int64)) > 0).all(), f"{t}: not sorted"
+    assert r.df("zzz_not_a_term") == 0
+
+
+@pytest.mark.parametrize("query", QUERIES)
+def test_rank_identity_exact_vs_wand(built_index, query):
+    idx, _ = built_index
+    r = IndexReader(idx)
+    assert search_exact(r, query, 10) == search_wand(r, query, 10), query
+
+
+@pytest.mark.parametrize("query", QUERIES)
+def test_rank_identity_vs_bruteforce(built_index, brute_force, query):
+    idx, _ = built_index
+    inv, dls = brute_force
+    r = IndexReader(idx)
+    got = search_exact(r, query, 10)
+    want = brute_topk(inv, dls, query, 10)
+    assert [d for d, _ in got] == [d for d, _ in want], query
+    for (_, s1), (_, s2) in zip(got, want):
+        assert abs(s1 - s2) < 1e-9
+
+
+def test_wand_deep_k(built_index, brute_force):
+    idx, _ = built_index
+    inv, dls = brute_force
+    r = IndexReader(idx)
+    q = "term1 term2 term5"
+    assert search_exact(r, q, 200) == search_wand(r, q, 200)
+
+
+def test_head_compaction_preserves_results(built_index, tmp_path):
+    idx, man = built_index
+    # copy the index (relocatable by design) and compact the copy
+    idx2 = str(tmp_path / "copy")
+    shutil.copytree(idx, idx2)
+    r1 = IndexReader(idx2)
+    before = [search_wand(r1, q, 10) for q in QUERIES]
+    n = compact_head_segments(idx2)
+    assert n == len(r1.head_terms)
+    r2 = IndexReader(idx2)
+    assert r2.head_compacted
+    after = [search_wand(r2, q, 10) for q in QUERIES]
+    assert before == after
+
+
+def test_head_terms_are_segmented(built_index):
+    idx, man = built_index
+    r = IndexReader(idx)
+    heads = sorted(r.head_terms, key=lambda t: -r.df(t))
+    assert heads, "corpus should produce head terms"
+    segs = r.term_segments(heads[0])
+    assert len(segs) > 1, "hottest term should be salted into multiple segments"
+    # segments are doc-range contiguous and ordered
+    prev_last = -1
+    for s in segs:
+        assert int(s["blk_last"][-1]) > prev_last
+        prev_last = int(s["blk_last"][-1])
+
+
+def test_resume_after_partial_failure(corpus_dir, tmp_path, brute_force):
+    """FIXTURES.md F5: kill mid-build → rerun resumes → byte-identical index."""
+    paths = sorted(
+        os.path.join(corpus_dir, f)
+        for f in os.listdir(corpus_dir)
+        if f.endswith(".parquet")
+    )
+    kw = dict(num_buckets=8, salt_shards=2, head_min_df=60, batch_size=256)
+    full = str(tmp_path / "full")
+    build_index(paths, full, **kw)
+
+    # simulate a crash: complete build, then destroy 3 buckets + manifest entry
+    broken = str(tmp_path / "broken")
+    shutil.copytree(full, broken)
+    man_path = os.path.join(broken, "manifest.json")
+    with open(man_path) as f:
+        man = json.load(f)
+    del man["phases"]["postings"]  # driver died before marking the phase
+    with open(man_path, "w") as f:
+        json.dump(man, f)
+    for b in (0, 3, 5):
+        shutil.rmtree(os.path.join(broken, "postings", f"bucket={b:05d}"))
+
+    build_index(paths, broken, **kw)  # resume
+
+    # every bucket byte-identical to the uninterrupted build
+    for b in range(8):
+        p1 = os.path.join(full, "postings", f"bucket={b:05d}", "part.parquet")
+        p2 = os.path.join(broken, "postings", f"bucket={b:05d}", "part.parquet")
+        assert os.path.exists(p1) == os.path.exists(p2)
+        if os.path.exists(p1):
+            with open(p1, "rb") as f1, open(p2, "rb") as f2:
+                assert f1.read() == f2.read(), f"bucket {b} differs after resume"
+
+
+def test_config_change_invalidates(corpus_dir, tmp_path):
+    paths = sorted(
+        os.path.join(corpus_dir, f)
+        for f in os.listdir(corpus_dir)
+        if f.endswith(".parquet")
+    )[:1]
+    idx = str(tmp_path / "idx")
+    m1 = build_index(paths, idx, num_buckets=4, salt_shards=2, head_min_df=60)
+    m2 = build_index(paths, idx, num_buckets=4, salt_shards=2, head_min_df=50)
+    assert m1.hash != m2.hash
+
+
+def test_resolve_urls(built_index):
+    idx, _ = built_index
+    r = IndexReader(idx)
+    docs, _, _ = r.postings("term1")
+    want = [int(d) for d in docs[:5]]
+    urls = r.resolve_urls(want)
+    assert set(urls) == set(want)
+    for did, url in urls.items():
+        assert doc_id_from_url(url) == did
+
+
+def test_golden_topk(built_index):
+    """Golden top-k file (FIXTURES.md F4) — regenerate with
+    `python tests/golden/gen_topk.py` when the corpus or scoring changes."""
+    idx, _ = built_index
+    golden = os.path.join(os.path.dirname(__file__), "golden", "topk.jsonl")
+    r = IndexReader(idx)
+    with open(golden) as f:
+        for line in f:
+            case = json.loads(line)
+            got = search_wand(r, case["query"], case["k"])
+            assert [d for d, _ in got] == [x["doc_id"] for x in case["results"]]
+            for (_, s), x in zip(got, case["results"]):
+                assert abs(s - x["score"]) < 1e-12, case["query"]
