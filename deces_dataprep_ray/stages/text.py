@@ -1,0 +1,143 @@
+"""Text-analysis stages for large-scale training-data pipelines.
+
+All stages are vectorized ``map_batches`` bodies over Arrow batches; the
+tokenizer is the same frozen ``norm`` chain the index uses
+(`deces_dataprep_ray.functions.analysis`), so token counts here agree with
+index doc lengths by construction.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.analysis import tokenize_many
+from . import Stage
+
+# small per-language stopword sets for the n-gram/stopword language heuristic
+_STOP = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "it", "that", "for"},
+    "fr": {"le", "la", "les", "de", "des", "et", "un", "une", "est", "que"},
+    "de": {"der", "die", "das", "und", "ist", "ein", "eine", "nicht", "mit", "zu"},
+    "es": {"el", "la", "los", "de", "y", "un", "una", "es", "que", "en"},
+}
+
+_PUNCT_RE = re.compile(r"[^\w\s]", re.UNICODE)
+_WS_SPLIT = re.compile(r"\s+")
+
+
+@dataclass
+class TokenCount(Stage):
+    """Per-doc token count via the norm analyzer (whitespace+regex chain)."""
+
+    text_col: str = "text"
+    out_col: str = "n_tokens"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        toks = tokenize_many(["" if t is None else t for t in batch[self.text_col].to_pylist()])
+        arr = pa.array(np.fromiter((len(t) for t in toks), dtype=np.int64,
+                                   count=len(toks)), pa.int64())
+        return batch.append_column(self.out_col, arr)
+
+
+@dataclass
+class QualityScore(Stage):
+    """Heuristic quality features: lengths, punctuation ratio, stopword
+    ratio, mean token length — the standard web-text quality signals."""
+
+    text_col: str = "text"
+    stopwords: frozenset = frozenset(_STOP["en"])
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = ["" if t is None else t for t in batch[self.text_col].to_pylist()]
+        n = len(texts)
+        n_chars = np.empty(n, np.int64)
+        n_tokens = np.empty(n, np.int64)
+        punct_ratio = np.empty(n, np.float64)
+        stop_ratio = np.empty(n, np.float64)
+        mean_tok_len = np.empty(n, np.float64)
+        stop = self.stopwords
+        for i, t in enumerate(texts):
+            n_chars[i] = len(t)
+            toks = [w for w in _WS_SPLIT.split(t.lower()) if w]
+            n_tokens[i] = len(toks)
+            punct_ratio[i] = (len(_PUNCT_RE.findall(t)) / len(t)) if t else 0.0
+            if toks:
+                stop_ratio[i] = sum(1 for w in toks if w in stop) / len(toks)
+                mean_tok_len[i] = sum(len(w) for w in toks) / len(toks)
+            else:
+                stop_ratio[i] = 0.0
+                mean_tok_len[i] = 0.0
+        for name, arr, typ in (
+            ("q_n_chars", n_chars, pa.int64()),
+            ("q_n_tokens", n_tokens, pa.int64()),
+            ("q_punct_ratio", punct_ratio, pa.float64()),
+            ("q_stop_ratio", stop_ratio, pa.float64()),
+            ("q_mean_tok_len", mean_tok_len, pa.float64()),
+        ):
+            batch = batch.append_column(name, pa.array(arr, typ))
+        return batch
+
+
+@dataclass
+class LangId(Stage):
+    """Stopword-overlap language heuristic → (lang_pred, lang_score).
+
+    Deterministic and dependency-free; ties broken by language code order.
+    """
+
+    text_col: str = "text"
+    langs: tuple = ("de", "en", "es", "fr")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = ["" if t is None else t for t in batch[self.text_col].to_pylist()]
+        preds, scores = [], []
+        for t in texts:
+            toks = [w for w in _WS_SPLIT.split(t.lower()) if w]
+            best_lang, best = "und", 0.0
+            for lang in self.langs:
+                sw = _STOP[lang]
+                s = (sum(1 for w in toks if w in sw) / len(toks)) if toks else 0.0
+                if s > best:
+                    best_lang, best = lang, s
+            preds.append(best_lang)
+            scores.append(best)
+        batch = batch.append_column("lang_pred", pa.array(preds, pa.string()))
+        return batch.append_column("lang_score", pa.array(scores, pa.float64()))
+
+
+@dataclass
+class Fingerprint(Stage):
+    """Deterministic document fingerprints: md5 of raw text (exact) and a
+    64-bit rolling-shingle fingerprint (first-8-bytes blake2b over the
+    document's sorted 5-gram min-hashes — a cheap winnowing-style content id).
+    """
+
+    text_col: str = "text"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = ["" if t is None else t for t in batch[self.text_col].to_pylist()]
+        md5s = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
+        fps = np.empty(len(texts), np.uint64)
+        for i, t in enumerate(texts):
+            grams = {t[j: j + 5] for j in range(max(1, len(t) - 4))}
+            mins = sorted(
+                int.from_bytes(
+                    hashlib.blake2b(g.encode(), digest_size=8).digest(), "big"
+                )
+                for g in grams
+            )[:8]
+            fps[i] = np.uint64(
+                int.from_bytes(
+                    hashlib.blake2b(
+                        b"".join(m.to_bytes(8, "big") for m in mins), digest_size=8
+                    ).digest(),
+                    "big",
+                )
+            )
+        batch = batch.append_column("fp_md5", pa.array(md5s, pa.string()))
+        return batch.append_column("fp_sketch", pa.array(fps, pa.uint64()))
