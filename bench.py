@@ -1,0 +1,210 @@
+"""Benchmark harness. Prints ONE JSON line.
+
+Headline: full inverted-index build (analyze → SPIMI → salted shuffle →
+encoded bucket write) over a deterministic synthetic pages corpus sized by
+the sf of ``$GRAFT_SF_DIR`` (sf0.1 → 100k docs), plus BM25 query latency
+(block-max WAND p50) and a sweep of the driver queries over the sf tables.
+
+  GRAFT_SF_DIR   input table dir (default /root/testdata/sf0.1)
+  RAY_GRAFT_CPUS ray.init num_cpus (default 32)
+
+``python bench.py --scaling`` runs the headline build twice in fresh
+processes (num_cpus=8 then 32) on the same input and reports both
+throughputs and the scaling efficiency (BASELINE.md protocol).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    "term1", "term2 term3", "term1 term2 term3 term4", "café crème",
+    "sèvres 42", "term50 term300", "term1000 term2000 term1",
+    "münchen köln term7", "term12 term13 term14", "hôtel élève garçon",
+    "term4 term17 term29", "term0 2024", "term99 term100", "term7 term800",
+    "term5 term6 term7 term8 term9", "42 2024", "term31 term42 term53",
+    "term2 term2000", "term300 term301 term302", "term1 term4999",
+]
+
+
+def corpus_sf(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def ensure_corpus(n_docs: int) -> list[str]:
+    from deces_dataprep_ray.corpus import write_pages_corpus
+
+    d = f"/tmp/dcray_bench/pages_{n_docs}"
+    return write_pages_corpus(d, n_docs, shard_rows=25_000)
+
+
+def warm_workers(num_cpus: int) -> None:
+    """Spawn + warm the worker pool (process start, package imports) before
+    timing — measures the build, not cluster cold start. A real cluster at
+    either size would be warm before a 10^12-doc job."""
+    import ray.data as rd
+
+    def touch(batch):
+        import deces_dataprep_ray.index.build  # noqa: F401 — force imports
+
+        return batch
+
+    rd.range(num_cpus * 4, override_num_blocks=num_cpus * 4).map_batches(
+        touch, batch_format="pyarrow").count()
+
+
+def run_bench(sf_dir: str, num_cpus: int, headline_only: bool) -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from deces_dataprep_ray.corpus import ExtractText
+    from deces_dataprep_ray.index.build import build_index
+    from deces_dataprep_ray.index.query import search_exact, search_wand
+    from deces_dataprep_ray.index.reader import IndexReader
+
+    sf = corpus_sf(sf_dir)
+    n_docs = max(1000, int(sf * 4_000_000))
+    paths = ensure_corpus(n_docs)
+
+    # warm the page cache so the timed run measures compute + shuffle
+    for p in paths:
+        with open(p, "rb") as f:
+            while f.read(1 << 24):
+                pass
+    warm_workers(num_cpus)
+
+    queries: dict[str, float] = {}
+    index_dir = f"/tmp/dcray_bench/index_{n_docs}_{num_cpus}"
+    shutil.rmtree(index_dir, ignore_errors=True)
+
+    t0 = time.time()
+    build_index(
+        paths, index_dir,
+        num_buckets=max(32, num_cpus * 2),
+        salt_shards=8,
+        batch_size=4096,
+    )
+    build_sec = time.time() - t0
+    queries["index_build"] = round(build_sec, 3)
+
+    reader = IndexReader(index_dir)
+
+    # query latency: one warm pass, then timed
+    for q in BENCH_QUERIES[:5]:
+        search_wand(reader, q, 10)
+    lat_wand, lat_exact = [], []
+    for q in BENCH_QUERIES:
+        t = time.time()
+        search_wand(reader, q, 10)
+        lat_wand.append(time.time() - t)
+    for q in BENCH_QUERIES:
+        t = time.time()
+        search_exact(reader, q, 10)
+        lat_exact.append(time.time() - t)
+    queries["query_wand_p50"] = round(statistics.median(lat_wand), 4)
+    queries["query_exact_p50"] = round(statistics.median(lat_exact), 4)
+
+    if not headline_only:
+        import ray.data as rd
+
+        t = time.time()
+        out_dir = f"/tmp/dcray_bench/extract_{n_docs}"
+        shutil.rmtree(out_dir, ignore_errors=True)
+        (
+            rd.read_parquet(paths)
+            .map_batches(ExtractText, batch_size=1024,
+                         batch_format="pyarrow", concurrency=(1, num_cpus))
+            .write_parquet(out_dir)
+        )
+        queries["extract_html"] = round(time.time() - t, 3)
+
+        from deces_dataprep_ray.pipelines import driver_queries as dq
+
+        for name, fn in [
+            ("groupby_agg", dq.q_groupby_agg),
+            ("broadcast_join", dq.q_broadcast_join),
+            ("term_df", dq.q_term_df),
+            ("exact_dedup", dq.q_exact_dedup),
+            ("ann_cosine", dq.q_ann_cosine),
+            ("minhash_pairs", dq.q_minhash_pairs),
+        ]:
+            t = time.time()
+            fn(sf_dir)
+            queries[name] = round(time.time() - t, 3)
+
+    man = reader.manifest
+    n_postings = man.phase("postings").get("n_postings", 0)
+    result = {
+        "metric": "index_build_sec",
+        "value": round(build_sec, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "num_cpus": num_cpus,
+        "docs": n_docs,
+        "docs_per_sec": round(n_docs / build_sec, 1),
+        "n_postings": int(n_postings),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling(sf_dir: str) -> dict:
+    env_base = dict(os.environ, GRAFT_SF_DIR=sf_dir, BENCH_HEADLINE_ONLY="1")
+
+    def one(ncpu: int) -> dict:
+        env = dict(env_base, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env,
+            capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = one(8), one(32)
+    rate_lo = lo["docs_per_sec"]
+    rate_hi = hi["docs_per_sec"]
+    eff = (rate_hi / rate_lo) / (32 / 8)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_8cpu": lo["value"],
+        "sec_32cpu": hi["value"],
+        "docs_per_sec_8cpu": rate_lo,
+        "docs_per_sec_32cpu": rate_hi,
+        "docs": lo["docs"],
+        "sf": lo["sf"],
+        "queries": {"build_8cpu": lo["value"], "build_32cpu": hi["value"]},
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling(sf_dir)))
+        return
+    headline_only = os.environ.get("BENCH_HEADLINE_ONLY") == "1" or \
+        "--headline-only" in sys.argv
+    print(json.dumps(run_bench(sf_dir, num_cpus, headline_only)))
+
+
+if __name__ == "__main__":
+    main()

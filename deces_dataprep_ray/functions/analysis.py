@@ -50,7 +50,7 @@ _SEP = "\x1e"
 
 # combining-mark stripper: one char class covering all Mn codepoints in the BMP
 # plus the common supplementary combining ranges, compiled once at import.
-def _build_mark_re() -> re.Pattern[str]:
+def _mark_class() -> str:
     ranges = []
     start = prev = None
     for cp in range(sys.maxunicode + 1):
@@ -63,17 +63,20 @@ def _build_mark_re() -> re.Pattern[str]:
                 start = prev = cp
     if start is not None:
         ranges.append((start, prev))
-    cls = "".join(
+    return "".join(
         re.escape(chr(a)) if a == b else f"{re.escape(chr(a))}-{re.escape(chr(b))}"
         for a, b in ranges
     )
-    return re.compile(f"[{cls}]+")
 
 
-_MARK_RE = _build_mark_re()
+_MARK_CLS = _mark_class()
+_MARK_RE = re.compile(f"[{_MARK_CLS}]+")
 # non-(letter|digit) → space. After mark-stripping, \w == letters+digits+_ ;
 # fold _ into the separator class to match the reference's [^\p{L}\d].
 _NONALNUM_RE = re.compile(r"[\W_]+", re.UNICODE)
+# raw token: word chars (minus _) plus combining marks, so decomposed text
+# keeps marks attached to their base letters until folding strips them
+_TOKEN_RE = re.compile(f"(?:[^\\W_]|[{_MARK_CLS}])+", re.UNICODE)
 
 
 def fold(text: str) -> str:
@@ -89,9 +92,22 @@ def normalize_keyword(text: str) -> str:
     return _NONALNUM_RE.sub(" ", fold(text)).strip()
 
 
+def _fold_token(tok: str) -> tuple[str, ...]:
+    """Fold one raw token → its folded sub-token(s). Folding can introduce
+    separators (NFKD of ¼ is 1⁄4), hence the re-split."""
+    if tok.isascii():
+        return (tok.lower(),)
+    return tuple(t for t in _NONALNUM_RE.split(fold(tok)) if t)
+
+
 def tokenize(text: str) -> list[str]:
-    """Analyze one string → token list (the full norm chain)."""
-    return [t for t in _NONALNUM_RE.split(fold(text)) if t]
+    """Analyze one string → token list. CANONICAL chain (golden-locked):
+    raw-tokenize on (letters|digits|marks)+, then fold each token
+    (ligature table + NFKD + strip marks + lowercase), re-splitting tokens
+    whose fold introduced separators. Symbol characters (e.g. №) act as
+    separators — matching ES ``standard`` tokenizer behavior — rather than
+    being compatibility-decomposed into letters."""
+    return [s for t in _TOKEN_RE.findall(text) for s in _fold_token(t)]
 
 
 def fold_many(texts: list[str]) -> list[str]:
@@ -110,32 +126,123 @@ def fold_many(texts: list[str]) -> list[str]:
     return out
 
 
-def tokenize_many(texts: list[str]) -> list[list[str]]:
-    """Vectorized analyze over a batch of strings."""
-    return [[t for t in _NONALNUM_RE.split(f) if t] for f in fold_many(texts)]
+def tokenize_many(
+    texts: list[str], folder: "TokenFolder | None" = None
+) -> list[list[str]]:
+    """Batch analyze, order-preserving; unique-token folding is memoized via
+    ``folder`` (pass a persistent one from an actor to amortize)."""
+    folder = folder or TokenFolder()
+    tok_lists = [_TOKEN_RE.findall(t or "") for t in texts]
+    uniq = list({t for toks in tok_lists for t in toks})
+    if uniq:
+        folder.fold_unique(np.asarray(uniq, dtype=object))
+    cache = folder.cache
+    return [[s for t in toks for s in cache[t]] for toks in tok_lists]
+
+
+_TOKEN_RE = re.compile(r"[^\W_]+", re.UNICODE)
+
+
+class TokenFolder:
+    """Memoized token-level folding.
+
+    The full fold chain (translate + NFKD + mark-strip + lower) costs
+    O(bytes); applying it to the raw corpus dominates analysis time. Instead
+    we tokenize RAW text first and fold only the batch's UNIQUE tokens —
+    with a cross-batch memo (held per actor) so a Zipf vocabulary folds each
+    term once per worker lifetime. Equivalence with fold-then-tokenize is
+    guaranteed by re-splitting folded tokens on non-alphanumerics (NFKD can
+    introduce separators, e.g. ¼ → 1⁄4) and is golden-tested.
+    """
+
+    def __init__(self) -> None:
+        self.cache: dict[str, tuple[str, ...]] = {}
+
+    def fold_unique(self, uniques: np.ndarray) -> list[tuple[str, ...]]:
+        cache = self.cache
+        missing = [t for t in uniques if t not in cache]
+        nonascii = []
+        for t in missing:
+            if t.isascii():
+                # raw tokens contain only word chars; ascii word chars need
+                # only lowercasing
+                cache[t] = (t.lower(),)
+            else:
+                nonascii.append(t)
+        if nonascii:
+            for raw, f in zip(nonascii, fold_many(nonascii)):
+                cache[raw] = tuple(tt for tt in _NONALNUM_RE.split(f) if tt)
+        return [cache[t] for t in uniques]
+
+
+def analyze_batch(
+    texts: list[str],
+    folder: TokenFolder | None = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Analyze a batch → flat (term, tf) pairs with per-doc offsets.
+
+    Returns (flat_terms: object ndarray, flat_tfs: uint32, offsets: int64 of
+    length n+1 — doc i's unique terms are flat[offsets[i]:offsets[i+1]] —
+    and dl: uint32 token counts). The hot path of the index build: raw
+    findall per doc, hash-factorize, memoized unique-token folding, integer
+    sorts — no per-corpus-byte unicode work, no string comparison sorts.
+
+    Per-doc term order is factorize (first-appearance) order, which depends
+    on batch composition; consumers must not rely on it (the bucket writer
+    re-sorts by (term, doc_id) globally, so index bytes stay deterministic).
+    """
+    import pandas as pd
+
+    folder = folder or TokenFolder()
+    tok_lists = [_TOKEN_RE.findall(t) for t in texts]
+    n = len(tok_lists)
+    raw_lens = np.fromiter((len(t) for t in tok_lists), np.int64, n)
+    total = int(raw_lens.sum())
+    if total == 0:
+        return (np.empty(0, object), np.empty(0, np.uint32),
+                np.zeros(n + 1, np.int64), np.zeros(n, np.uint32))
+    flat_raw = np.empty(total, dtype=object)
+    pos = 0
+    for toks in tok_lists:
+        flat_raw[pos: pos + len(toks)] = toks
+        pos += len(toks)
+    codes, uniques = pd.factorize(flat_raw, sort=False)
+    subs = folder.fold_unique(np.asarray(uniques, dtype=object))
+    sub_lens = np.fromiter((len(s) for s in subs), np.int64, len(subs))
+
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), raw_lens)
+    if (sub_lens == 1).all():
+        folded_unique = np.asarray([s[0] for s in subs], dtype=object)
+        fmap, funiques = pd.factorize(folded_unique, sort=False)
+        fcodes = fmap[codes]
+    else:
+        rep = sub_lens[codes]
+        doc_idx = np.repeat(doc_idx, rep)
+        flat_folded = np.empty(int(rep.sum()), dtype=object)
+        p = 0
+        for c in codes:
+            s = subs[c]
+            flat_folded[p: p + len(s)] = s
+            p += len(s)
+        fcodes, funiques = pd.factorize(flat_folded, sort=False)
+
+    dl = np.bincount(doc_idx, minlength=n).astype(np.uint32)
+    v = np.int64(len(funiques))
+    key = doc_idx * v + fcodes
+    uk, counts = np.unique(key, return_counts=True)
+    u_doc = uk // v
+    u_code = uk % v
+    offsets = np.searchsorted(u_doc, np.arange(n + 1, dtype=np.int64)).astype(np.int64)
+    flat_terms = np.asarray(funiques, dtype=object)[u_code]
+    return flat_terms, counts.astype(np.uint32), offsets, dl
 
 
 def term_freqs_many(
     texts: list[str],
 ) -> tuple[list[np.ndarray], list[np.ndarray], np.ndarray]:
-    """Analyze a batch → per-doc (sorted unique terms, tfs, doc length).
-
-    Returns (terms_per_doc: list of str ndarrays, tfs_per_doc: list of uint32
-    ndarrays, dl: uint32 ndarray of token counts). Terms are sorted
-    lexicographically within each doc (deterministic layout).
-    """
-    folded = fold_many(texts)
-    terms_out: list[np.ndarray] = []
-    tfs_out: list[np.ndarray] = []
-    dl = np.empty(len(folded), dtype=np.uint32)
-    for i, f in enumerate(folded):
-        toks = [t for t in _NONALNUM_RE.split(f) if t]
-        dl[i] = len(toks)
-        if toks:
-            u, c = np.unique(np.asarray(toks, dtype=object), return_counts=True)
-            terms_out.append(u)
-            tfs_out.append(c.astype(np.uint32))
-        else:
-            terms_out.append(np.empty(0, dtype=object))
-            tfs_out.append(np.empty(0, dtype=np.uint32))
+    """Per-doc (unique terms, tfs, doc length) — thin wrapper over
+    :func:`analyze_batch` for tests and small callers."""
+    flat_terms, flat_tfs, offsets, dl = analyze_batch(texts)
+    terms_out = [flat_terms[offsets[i]: offsets[i + 1]] for i in range(len(dl))]
+    tfs_out = [flat_tfs[offsets[i]: offsets[i + 1]] for i in range(len(dl))]
     return terms_out, tfs_out, dl

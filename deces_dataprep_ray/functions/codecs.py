@@ -42,27 +42,35 @@ def vb_encode(values: np.ndarray) -> bytes:
 
 
 def vb_decode(buf: bytes | memoryview | np.ndarray, count: int | None = None) -> np.ndarray:
-    """Decode a varbyte stream back to uint64. ``count`` (if given) is validated."""
+    """Decode a varbyte stream back to uint64. ``count`` (if given) is
+    validated. Two fast paths: all-single-byte streams (typical for tf/dl)
+    decode with one mask; multi-byte streams decode per length-group with
+    L ≤ 10 vectorized gathers."""
     b = np.frombuffer(buf, dtype=np.uint8)
     if b.size == 0:
         return np.empty(0, dtype=_U64)
     is_last = b < 0x80
-    n = int(is_last.sum())
+    if is_last.all():  # every value fits 7 bits
+        if count is not None and b.size != count:
+            raise ValueError(f"varbyte stream holds {b.size} values, expected {count}")
+        return b.astype(_U64)
+    ends = np.flatnonzero(is_last)
+    n = ends.size
     if count is not None and n != count:
         raise ValueError(f"varbyte stream holds {n} values, expected {count}")
-    # value id per byte: 0-based index of the value the byte belongs to
-    vid = np.zeros(b.size, dtype=np.int64)
-    vid[1:] = np.cumsum(is_last[:-1])
-    # position of byte within its value
-    starts = np.flatnonzero(np.concatenate(([True], is_last[:-1])))
-    pos = np.arange(b.size, dtype=np.int64) - starts[vid]
+    starts = np.empty(n, dtype=np.int64)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    lens = ends - starts + 1
     payload = (b & 0x7F).astype(_U64)
-    vals = np.zeros(n, dtype=_U64)
-    for k in range(10):
-        sel = pos == k
-        if not sel.any():
-            break
-        vals[vid[sel]] |= payload[sel] << _U64(7 * k)
+    vals = payload[starts].copy()
+    maxlen = int(lens.max())
+    sel = lens > 1
+    for j in range(1, maxlen):
+        idx = starts[sel] + j
+        vals[np.flatnonzero(sel)] |= payload[idx] << _U64(7 * j)
+        if j + 1 < maxlen:
+            sel = sel & (lens > j + 1)
     return vals
 
 
@@ -150,6 +158,29 @@ def decode_postings_blocks(enc: dict) -> tuple[np.ndarray, np.ndarray, np.ndarra
     tfs = vb_decode(enc["tf_bytes"], n)
     dls = vb_decode(enc["dl_bytes"], n)
     return delta_decode(deltas), tfs, dls
+
+
+def decode_block_run(
+    enc: dict, lo: int, hi: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode blocks lo..hi (inclusive) in one pass. Valid because delta
+    continuity chains across consecutive blocks: block i's first delta is
+    relative to block i-1's last doc."""
+    nblk = len(enc["blk_last"])
+    cnt = int(enc["blk_count"][lo: hi + 1].sum())
+    b_doc = enc["doc_bytes"][int(enc["blk_off_doc"][lo]):
+                             int(enc["blk_off_doc"][hi + 1]) if hi + 1 < nblk
+                             else len(enc["doc_bytes"])]
+    b_tf = enc["tf_bytes"][int(enc["blk_off_tf"][lo]):
+                           int(enc["blk_off_tf"][hi + 1]) if hi + 1 < nblk
+                           else len(enc["tf_bytes"])]
+    b_dl = enc["dl_bytes"][int(enc["blk_off_dl"][lo]):
+                           int(enc["blk_off_dl"][hi + 1]) if hi + 1 < nblk
+                           else len(enc["dl_bytes"])]
+    docs = delta_decode(vb_decode(b_doc, cnt))
+    if lo > 0:
+        docs += enc["blk_last"][lo - 1]
+    return docs, vb_decode(b_tf, cnt), vb_decode(b_dl, cnt)
 
 
 def decode_block(enc: dict, i: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

@@ -49,9 +49,9 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Sum
 
-from ..functions.analysis import term_freqs_many
+from ..functions.analysis import analyze_batch
 from ..functions.codecs import encode_postings_blocks
 from ..functions.ids import doc_ids_from_urls, term_buckets
 from ..state.manifest import (
@@ -78,24 +78,18 @@ class AnalyzeDocs:
     """
 
     def __init__(self, url_col: str = "url", text_col: str = "text"):
+        from ..functions.analysis import TokenFolder
+
         self.url_col = url_col
         self.text_col = text_col
+        self.folder = TokenFolder()  # per-actor fold memo, amortized
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch[self.url_col].to_pylist()
         texts = batch[self.text_col].to_pylist()
         texts = ["" if t is None else t for t in texts]
-        terms, tfs, dl = term_freqs_many(texts)
+        flat_terms, flat_tfs, offsets, dl = analyze_batch(texts, self.folder)
         doc_ids = doc_ids_from_urls(urls)
-        lens = np.fromiter((len(t) for t in terms), dtype=np.int64, count=len(terms))
-        offsets = np.zeros(len(terms) + 1, dtype=np.int64)
-        np.cumsum(lens, out=offsets[1:])
-        flat_terms = (
-            np.concatenate(terms) if offsets[-1] else np.empty(0, dtype=object)
-        )
-        flat_tfs = (
-            np.concatenate(tfs) if offsets[-1] else np.empty(0, dtype=np.uint32)
-        )
         return pa.table(
             {
                 "doc_id": pa.array(doc_ids, pa.uint64()),
@@ -105,29 +99,75 @@ class AnalyzeDocs:
                     pa.array(offsets, pa.int64()),
                     pa.array(flat_terms, pa.large_string()),
                 ),
-                "tfs": pa.ListArray.from_arrays(
-                    pa.array(offsets.astype(np.int32), pa.int32()),
+                "tfs": pa.LargeListArray.from_arrays(
+                    pa.array(offsets, pa.int64()),
                     pa.array(flat_tfs, pa.uint32()),
                 ),
             }
         )
 
 
+# Task-pool variants: Ray reuses warm worker processes across tasks and
+# phases, so per-process module state replaces actor state with zero pool
+# spin-up cost (an actor pool pays one process start + import per actor,
+# which dominates small/medium builds).
+_ANALYZER_SINGLETON: dict[tuple, AnalyzeDocs] = {}
+
+
+def _analyze_docs_fn(batch: pa.Table, url_col: str, text_col: str) -> pa.Table:
+    key = (url_col, text_col)
+    inst = _ANALYZER_SINGLETON.get(key)
+    if inst is None:
+        inst = _ANALYZER_SINGLETON.setdefault(key, AnalyzeDocs(url_col, text_col))
+    return inst(batch)
+
+
+_EMIT_SINGLETON: dict[tuple, "EmitPartials"] = {}
+
+
+def _emit_partials_fn(
+    batch: pa.Table, head_ref, num_buckets: int, salt_shards: int,
+    skip_buckets: tuple[int, ...],
+) -> pa.Table:
+    key = (
+        head_ref.hex() if isinstance(head_ref, ray.ObjectRef) else id(head_ref),
+        num_buckets, salt_shards, skip_buckets,
+    )
+    inst = _EMIT_SINGLETON.get(key)
+    if inst is None:
+        inst = _EMIT_SINGLETON.setdefault(
+            key, EmitPartials(head_ref, num_buckets, salt_shards, skip_buckets)
+        )
+    return inst(batch)
+
+
 # ---------------------------------------------------------------------------
 # Phase C helpers: head-term detection (df pre-pass)
 # ---------------------------------------------------------------------------
 
-def _df_partials(batch: pa.Table) -> pa.Table:
-    """Per-batch partial document frequencies: one (term, df) row per unique
-    term per batch — the map-side combine that keeps the df groupby small."""
+def _df_cf_partials(batch: pa.Table) -> pa.Table:
+    """Per-batch partial document/collection frequencies: one (term, df, cf)
+    row per unique term per batch — the map-side combine that keeps the
+    termstats groupby small. Terms are per-doc unique in ``analyzed``, so a
+    bincount over factorize codes is the per-batch df; cf is the tf-weighted
+    bincount. Σcf over all terms = total token count, so the global doc
+    stats fall out of this pass for free."""
+    import pandas as pd
+
     col = batch["terms"].combine_chunks()
     flat = col.flatten().to_numpy(zero_copy_only=False)
     if len(flat) == 0:
         return pa.table({"term": pa.array([], pa.large_string()),
-                         "df": pa.array([], pa.int64())})
-    uq, cnt = np.unique(flat, return_counts=True)
-    return pa.table({"term": pa.array(uq, pa.large_string()),
-                     "df": pa.array(cnt, pa.int64())})
+                         "df": pa.array([], pa.int64()),
+                         "cf": pa.array([], pa.int64())})
+    tfs = batch["tfs"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+    codes, uq = pd.factorize(flat, sort=False)
+    cnt = np.bincount(codes, minlength=len(uq))
+    cf = np.bincount(codes, weights=tfs.astype(np.float64),
+                     minlength=len(uq)).astype(np.int64)
+    return pa.table({"term": pa.array(np.asarray(uq, object), pa.large_string()),
+                     "df": pa.array(cnt, pa.int64()),
+                     "cf": pa.array(cf, pa.int64())})
 
 
 # ---------------------------------------------------------------------------
@@ -182,7 +222,10 @@ class EmitPartials:
         if len(flat_terms) == 0:
             return _empty_partials()
 
-        uq, inv = np.unique(flat_terms, return_inverse=True)
+        import pandas as pd
+
+        inv, uq = pd.factorize(flat_terms, sort=False)
+        uq = np.asarray(uq, dtype=object)
         buckets_uq = term_buckets(uq, self.num_buckets).astype(np.int64)
         head_row_uq = np.full(len(uq), -1, dtype=np.int64)
         for i, t in enumerate(uq):
@@ -412,8 +455,10 @@ def build_bucket(
 
 
 def _factorize(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    uq, inv = np.unique(values, return_inverse=True)
-    return inv, uq
+    import pandas as pd
+
+    inv, uq = pd.factorize(values, sort=False)
+    return inv, np.asarray(uq, dtype=object)
 
 
 # ---------------------------------------------------------------------------
@@ -446,8 +491,6 @@ def build_index(
     head_df_ratio: float = 0.05,
     k1: float = 1.2,
     b: float = 0.75,
-    analyze_concurrency: int | tuple[int, int] = (1, 8),
-    emit_concurrency: int | tuple[int, int] = (1, 8),
     batch_size: int = 2048,
     input_tag: str | None = None,
     resume: bool = True,
@@ -485,20 +528,27 @@ def build_index(
         man = Manifest(index_dir, cfg)
     man.save()
 
+    # map_batches parallelism is bounded by BLOCK count, not batch_size: a
+    # 16-file input read as 16 blocks runs at most 16 concurrent map tasks.
+    # Split reads to ~3 blocks per CPU so every stage can saturate the
+    # cluster (cheap: parquet row-group level splits).
+    ncpu = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    nblocks = max(len(paths) if paths else 1, 3 * ncpu)
+
     analyzed_dir = os.path.join(index_dir, "analyzed")
 
     # --- Phase A: analyze + checkpoint -----------------------------------
     if not man.phase_done("analyzed"):
         if paths is not None:
-            ds = rd.read_parquet(paths, columns=[url_col, text_col])
+            ds = rd.read_parquet(paths, columns=[url_col, text_col],
+                                 override_num_blocks=nblocks)
         else:
             ds = source
         analyzed = ds.map_batches(
-            AnalyzeDocs,
-            fn_constructor_kwargs={"url_col": url_col, "text_col": text_col},
+            _analyze_docs_fn,
+            fn_kwargs={"url_col": url_col, "text_col": text_col},
             batch_format="pyarrow",
             batch_size=batch_size,
-            concurrency=analyze_concurrency,
         )
         tmp_dir = analyzed_dir + ".tmp"
         if os.path.exists(tmp_dir):
@@ -509,25 +559,16 @@ def build_index(
         os.replace(tmp_dir, analyzed_dir)
         man.mark_done("analyzed", dir="analyzed")
 
-    # --- Phase B: global doc stats ---------------------------------------
-    if not man.phase_done("stats"):
-        dl_ds = rd.read_parquet(analyzed_dir, columns=["dl"])
-        agg = dl_ds.aggregate(Sum("dl", alias_name="total_dl"), Count(alias_name="n_docs"))
-        n_docs = int(agg["n_docs"])
-        total_dl = int(agg["total_dl"] or 0)
-        avgdl = (total_dl / n_docs) if n_docs else 0.0
-        man.mark_done("stats", n_docs=n_docs, total_dl=total_dl, avgdl=avgdl)
-    stats = man.phase("stats")
-    avgdl = float(stats["avgdl"]) or 1.0
-
-    # --- Phase C: term dictionary + head-term detection (df pre-pass) ----
+    # --- Phase B: term dictionary (df/cf pre-pass) ------------------------
     termstats_dir = os.path.join(index_dir, "termstats")
     if not man.phase_done("termstats"):
         df_ds = (
-            rd.read_parquet(analyzed_dir, columns=["terms"])
-            .map_batches(_df_partials, batch_format="pyarrow", batch_size=batch_size)
+            rd.read_parquet(analyzed_dir, columns=["terms", "tfs"],
+                            override_num_blocks=nblocks)
+            .map_batches(_df_cf_partials, batch_format="pyarrow",
+                         batch_size=batch_size)
             .groupby("term")
-            .aggregate(Sum("df", alias_name="df"))
+            .aggregate(Sum("df", alias_name="df"), Sum("cf", alias_name="cf"))
         )
         tmp_dir = termstats_dir + ".tmp"
         for d in (tmp_dir, termstats_dir):
@@ -541,6 +582,23 @@ def build_index(
             if f.endswith(".parquet")
         )
         man.mark_done("termstats", dir="termstats", n_terms=int(n_terms))
+
+    # --- Phase C: global doc stats (metadata-only: N from analyzed parquet
+    # row counts, total tokens = Σcf from termstats) -----------------------
+    if not man.phase_done("stats"):
+        n_docs = sum(
+            pq.read_metadata(os.path.join(analyzed_dir, f)).num_rows
+            for f in os.listdir(analyzed_dir)
+            if f.endswith(".parquet")
+        )
+        import pyarrow.dataset as pa_dataset
+
+        cf_tbl = pa_dataset.dataset(termstats_dir).to_table(columns=["cf"])
+        total_dl = int(pc.sum(cf_tbl["cf"]).as_py() or 0)
+        avgdl = (total_dl / n_docs) if n_docs else 0.0
+        man.mark_done("stats", n_docs=n_docs, total_dl=total_dl, avgdl=avgdl)
+    stats = man.phase("stats")
+    avgdl = float(stats["avgdl"]) or 1.0
 
     if not man.phase_done("head_terms"):
         min_df = head_min_df
@@ -570,10 +628,11 @@ def build_index(
         done = done_buckets(index_dir, num_buckets, man.hash) if resume else {}
         head_ref = ray.put(heads)
         emit = rd.read_parquet(
-            analyzed_dir, columns=["doc_id", "dl", "terms", "tfs"]
+            analyzed_dir, columns=["doc_id", "dl", "terms", "tfs"],
+            override_num_blocks=nblocks,
         ).map_batches(
-            EmitPartials,
-            fn_constructor_kwargs={
+            _emit_partials_fn,
+            fn_kwargs={
                 "head_ref": head_ref,
                 "num_buckets": num_buckets,
                 "salt_shards": salt_shards,
@@ -581,7 +640,6 @@ def build_index(
             },
             batch_format="pyarrow",
             batch_size=batch_size,
-            concurrency=emit_concurrency,
         )
         reduce_fn = functools.partial(
             build_bucket,

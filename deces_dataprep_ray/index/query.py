@@ -23,7 +23,7 @@ import math
 import numpy as np
 
 from ..functions.analysis import tokenize
-from ..functions.codecs import decode_block
+from ..functions.codecs import decode_block, decode_block_run
 from .build import bm25_weight
 from .reader import IndexReader
 
@@ -229,8 +229,17 @@ def search_wand(
             # block-max refinement
             block_ub = sum(c.block_max_contrib() for c in aligned)
             if block_ub < th - _EPS:
+                # BMW deep skip (Ding & Suel): no doc can beat the threshold
+                # while every aligned cursor stays in its current block, so
+                # jump to the nearest block boundary — capped at the next
+                # unaligned cursor's doc, where the upper bound changes
+                target = min(int(c.blk_last[c.bi]) for c in aligned) + 1
+                rest = [c.doc for c in live if c.doc > pivot_doc]
+                if rest:
+                    target = min(target, min(rest))
+                target = max(target, pivot_doc + 1)
                 for c in aligned:
-                    c.next_geq(pivot_doc + 1)
+                    c.next_geq(target)
                 continue
             # full evaluation — accumulate in term order (== oracle order)
             aligned.sort(key=lambda c: c.order)
@@ -257,9 +266,97 @@ def search_wand(
     return [(-d, s) for s, d in out]
 
 
-def search(
-    reader: IndexReader, query: str, k: int = 10, algorithm: str = "wand"
+def search_pruned(
+    reader: IndexReader, query: str, k: int = 10
 ) -> list[tuple[int, float]]:
+    """Vectorized block-max pruning — rank- and score-identical to
+    ``search_exact``, with BMW-style skipping but no per-doc Python loop.
+
+    1. Bootstrap a threshold θ: decode the strongest term's blocks in
+       descending block-max order until k docs are seen; θ = the k-th best
+       *actual* solo contribution (a valid lower bound on the final k-th
+       score).
+    2. Prune: block b of term t is dropped iff
+       idf_t·max_w(b) + Σ_{t'≠t} UBglobal(t') < θ − ε — every doc in such a
+       block provably scores < θ, so it cannot reach the top-k, and its
+       partial scores elsewhere cannot displace anything (partial ≤ true < θ).
+    3. Run the exact vectorized accumulation (ascending-term float64 order)
+       over the surviving blocks only.
+    """
+    terms = analyze_query(query)
+    infos = []
+    for t in terms:  # sorted term order
+        segs = reader.term_segments(t)
+        if not segs:
+            continue
+        df = sum(r["df"] for r in segs)
+        w_idf = idf(reader.n_docs, df)
+        blk_max = np.concatenate([r["blk_max_w"] for r in segs])
+        infos.append({"term": t, "segs": segs, "idf": w_idf,
+                      "ub": w_idf * float(blk_max.max()) if len(blk_max) else 0.0})
+    if not infos:
+        return []
+    total_ub = sum(i["ub"] for i in infos)
+
+    # --- bootstrap θ from the strongest term ---
+    best = max(infos, key=lambda i: i["ub"])
+    order = []
+    for si, seg in enumerate(best["segs"]):
+        for bi in range(len(seg["blk_last"])):
+            order.append((-seg["blk_max_w"][bi], si, bi))
+    order.sort()
+    solo: list[np.ndarray] = []
+    seen = 0
+    for _, si, bi in order:
+        seg = best["segs"][si]
+        _, tfs, dls = decode_block(seg, bi)
+        w = bm25_weight(tfs, dls, reader.avgdl, reader.k1, reader.b)
+        solo.append(best["idf"] * w)
+        seen += len(w)
+        if seen >= k:
+            break
+    theta = -math.inf
+    if solo:
+        allsolo = np.concatenate(solo)
+        if len(allsolo) >= k:
+            theta = float(np.partition(allsolo, len(allsolo) - k)[len(allsolo) - k])
+
+    # --- prune + decode survivors, then exact accumulation ---
+    gathered = []
+    for info in infos:
+        rest_ub = total_ub - info["ub"]
+        docs_parts, w_parts = [], []
+        for seg in info["segs"]:
+            bounds = info["idf"] * seg["blk_max_w"] + rest_ub
+            keep = np.flatnonzero(bounds >= theta - _EPS)
+            if len(keep) == 0:
+                continue
+            # decode contiguous runs of surviving blocks in single calls
+            run_breaks = np.flatnonzero(np.diff(keep) > 1)
+            run_starts = np.concatenate(([0], run_breaks + 1))
+            run_ends = np.concatenate((run_breaks, [len(keep) - 1]))
+            for rs, re_ in zip(run_starts, run_ends):
+                d, tfs, dls = decode_block_run(seg, int(keep[rs]), int(keep[re_]))
+                docs_parts.append(d)
+                w_parts.append(bm25_weight(tfs, dls, reader.avgdl,
+                                           reader.k1, reader.b))
+        if docs_parts:
+            gathered.append((np.concatenate(docs_parts),
+                             info["idf"] * np.concatenate(w_parts)))
+    if not gathered:
+        return []
+    union = np.unique(np.concatenate([g[0] for g in gathered]))
+    scores = np.zeros(len(union), dtype=np.float64)
+    for docs, contrib in gathered:  # sorted term order
+        scores[np.searchsorted(union, docs)] += contrib
+    return _topk_from_scores(union, scores, k)
+
+
+def search(
+    reader: IndexReader, query: str, k: int = 10, algorithm: str = "pruned"
+) -> list[tuple[int, float]]:
+    if algorithm == "pruned":
+        return search_pruned(reader, query, k)
     if algorithm == "wand":
         return search_wand(reader, query, k)
     if algorithm == "exact":

@@ -49,6 +49,23 @@ class IndexReader:
         self.head_compacted = man.phase_done("head_compact")
         self._head_path = os.path.join(index_dir, "head", "part.parquet")
         self._term_rows = lru_cache(maxsize=4096)(self._term_rows_uncached)
+        self._postings_cache: dict[str, tuple] = {}
+        # bucket-file cache: (table sorted by term, term ndarray for binary
+        # search). Bounded LRU — at web scale only hot buckets stay resident.
+        self._load_bucket = lru_cache(maxsize=256)(self._load_bucket_uncached)
+
+    def _load_bucket_uncached(self, path: str):
+        """Two-step lazy bucket: the term column loads eagerly (cheap, it's
+        the lookup key); posting payload row groups load on demand."""
+        if not os.path.exists(path):
+            return None
+        pf = pq.ParquetFile(path)
+        terms = pf.read(columns=["term"])["term"].to_numpy(zero_copy_only=False)
+        md = pf.metadata
+        rg_starts = np.zeros(md.num_row_groups + 1, dtype=np.int64)
+        for i in range(md.num_row_groups):
+            rg_starts[i + 1] = rg_starts[i] + md.row_group(i).num_rows
+        return {"pf": pf, "terms": terms, "rg_starts": rg_starts, "groups": {}}
 
     # -- routing ----------------------------------------------------------
 
@@ -66,9 +83,24 @@ class IndexReader:
     # -- posting access ---------------------------------------------------
 
     def _read_term(self, path: str, term: str) -> list[dict]:
-        if not os.path.exists(path):
+        loaded = self._load_bucket(path)
+        if loaded is None:
             return []
-        tbl = pq.read_table(path, filters=[("term", "==", term)])
+        terms = loaded["terms"]
+        lo = int(np.searchsorted(terms, term, side="left"))
+        hi = int(np.searchsorted(terms, term, side="right"))
+        if hi <= lo:
+            return []
+        rg_starts = loaded["rg_starts"]
+        g_lo = int(np.searchsorted(rg_starts, lo, side="right")) - 1
+        g_hi = int(np.searchsorted(rg_starts, hi - 1, side="right")) - 1
+        key = (g_lo, g_hi)
+        tbl = loaded["groups"].get(key)
+        if tbl is None:
+            tbl = loaded["pf"].read_row_groups(list(range(g_lo, g_hi + 1)))
+            loaded["groups"][key] = tbl
+        base = int(rg_starts[g_lo])
+        tbl = tbl.slice(lo - base, hi - lo)
         rows = []
         for i in range(tbl.num_rows):
             rows.append(
@@ -111,7 +143,18 @@ class IndexReader:
         return sum(r["df"] for r in self._term_rows(term))
 
     def postings(self, term: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-        """(doc_ids, tfs, dls), sorted by doc_id — ordered segment concat."""
+        """(doc_ids, tfs, dls), sorted by doc_id — ordered segment concat.
+        Decoded arrays are LRU-cached (hot query terms decode once)."""
+        cached = self._postings_cache.get(term)
+        if cached is not None:
+            return cached
+        out = self._postings_uncached(term)
+        if len(self._postings_cache) >= 1024:
+            self._postings_cache.pop(next(iter(self._postings_cache)))
+        self._postings_cache[term] = out
+        return out
+
+    def _postings_uncached(self, term: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         rows = self._term_rows(term)
         if not rows:
             e = np.empty(0, dtype=np.uint64)
