@@ -86,6 +86,8 @@ class RegexReplace(Stage):
         for c in _select_cols(batch, self.select):
             arr = batch[c]
             for pat, repl in self.rules:
+                # RE2 rewrites take \1..\9 only; accept Python's \g<N> too
+                repl = re.sub(r"\\g<(\d)>", r"\\\1", repl)
                 arr = pc.replace_substring_regex(arr, pat, repl)
             batch = _set_col(batch, c, arr)
         return batch
@@ -195,6 +197,12 @@ class BroadcastJoin(Stage):
         right = self._right()
         right_keys = [f"__r_{c}" for c in self.on.values()]
         left_keys = list(self.on.keys())
+        # an all-null column degrades to Arrow `null` type (e.g. a previous
+        # lookup with zero matches); acero rejects null-typed non-key fields
+        for i, f in enumerate(batch.schema):
+            if pa.types.is_null(f.type):
+                batch = batch.set_column(
+                    i, f.name, batch[f.name].cast(pa.string()))
         if self.anti:
             return batch.join(
                 right, keys=left_keys, right_keys=right_keys,

@@ -1,0 +1,103 @@
+"""Dedup suite + ANN correctness."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from deces_dataprep_ray.stages.ann import brute_force_topk, lsh_topk
+from deces_dataprep_ray.stages.dedup import (
+    exact_duplicates,
+    minhash_lsh_duplicates,
+    ngram_jaccard,
+    simhash_duplicates,
+)
+
+
+def _doc_ds():
+    base = ("the quick brown fox jumps over the lazy dog and runs far away "
+            "into the deep dark forest tonight")
+    rows = {
+        "doc_id": list(range(8)),
+        "text": [
+            base,                                   # 0
+            base,                                   # 1 exact dup of 0
+            base.replace("quick", "fast"),          # 2 near dup of 0
+            base + " extra words here",             # 3 near dup of 0
+            "completely different content about databases and indexes",  # 4
+            "another unrelated document discussing ray data pipelines",  # 5
+            base,                                   # 6 exact dup of 0
+            "short",                                # 7
+        ],
+    }
+    return rd.from_arrow(pa.table(rows))
+
+
+def test_exact_duplicates():
+    out = exact_duplicates(_doc_ds()).to_pandas().sort_values("doc_id")
+    # 0,1,6 collapse to min id 0 with 3 copies
+    row = out[out["doc_id"] == 0]
+    assert row["n_copies"].iloc[0] == 3
+    assert 1 not in out["doc_id"].tolist()
+    assert 6 not in out["doc_id"].tolist()
+    assert len(out) == 6  # 8 docs - 2 collapsed
+
+
+def test_minhash_lsh_finds_near_dups():
+    pairs = minhash_lsh_duplicates(
+        _doc_ds(), threshold=0.5, num_hashes=64, num_bands=16
+    ).to_pandas()
+    got = {(int(a), int(b)) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    # exact dups always found; near-dups (2, 3) expected at 0.5 threshold
+    assert (0, 1) in got and (0, 6) in got and (1, 6) in got
+    assert (0, 3) in got
+    # unrelated docs never pair
+    assert not any((a, b) in got for a in (0, 1, 2, 3) for b in (4, 5, 7))
+
+
+def test_simhash_finds_exact_and_near():
+    pairs = simhash_duplicates(_doc_ds()).to_pandas()
+    got = {(int(a), int(b)) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    assert (0, 1) in got and (0, 6) in got
+    assert not any((a, b) in got for a in (0, 1) for b in (4, 5, 7))
+
+
+def test_ngram_jaccard_kernel():
+    assert ngram_jaccard("abcdef", "abcdef") == 1.0
+    assert ngram_jaccard("abcdef", "uvwxyz") == 0.0
+    mid = ngram_jaccard("the quick brown fox", "the quick brown cat")
+    assert 0.4 < mid < 0.9
+    assert ngram_jaccard("", "") == 1.0
+
+
+def _emb_ds(n=200, d=16, seed=3):
+    rng = np.random.default_rng(seed)
+    m = rng.standard_normal((n, d)).astype(np.float32)
+    offs = pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int32), pa.int32())
+    return rd.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(n), pa.int64()),
+        "embedding": pa.ListArray.from_arrays(offs, pa.array(m.reshape(-1), pa.float32())),
+    })), m
+
+
+def test_brute_force_topk_matches_numpy():
+    ds, m = _emb_ds()
+    q = m[0]
+    out = brute_force_topk(ds, q[None, :], k=5)
+    m64 = m.astype(np.float64)
+    sims = (m64 / np.linalg.norm(m64, axis=1, keepdims=True)) @ (
+        q.astype(np.float64) / np.linalg.norm(q.astype(np.float64)))
+    order = np.lexsort((np.arange(len(m)), -sims))[:5]
+    assert out["vec_id"].tolist() == order.tolist()
+    assert np.allclose(out["cosine"].to_numpy(), sims[order])
+
+
+def test_lsh_topk_recall():
+    ds, m = _emb_ds(n=500)
+    q = m[7]
+    exact = set(brute_force_topk(ds, q[None, :], k=10)["vec_id"].tolist())
+    # 4 bits over 500 vecs: ~31/bucket, 1-bit probing scans ~150 candidates
+    approx = set(lsh_topk(ds, q[None, :], k=10, nbits=4)["vec_id"].tolist())
+    # self (vec 7) must be found; recall should be non-trivial
+    assert 7 in approx
+    assert len(exact & approx) >= 3
