@@ -41,6 +41,7 @@ import hashlib
 import io
 import os
 import shutil
+import time
 from typing import Any
 
 import numpy as np
@@ -536,6 +537,13 @@ def build_index(
     nblocks = max(len(paths) if paths else 1, 3 * ncpu)
 
     analyzed_dir = os.path.join(index_dir, "analyzed")
+    _t0 = time.time()
+
+    def _took() -> float:
+        nonlocal _t0
+        sec = round(time.time() - _t0, 3)
+        _t0 = time.time()
+        return sec
 
     # --- Phase A: analyze + checkpoint -----------------------------------
     if not man.phase_done("analyzed"):
@@ -557,7 +565,7 @@ def build_index(
             shutil.rmtree(analyzed_dir)
         analyzed.write_parquet(tmp_dir)
         os.replace(tmp_dir, analyzed_dir)
-        man.mark_done("analyzed", dir="analyzed")
+        man.mark_done("analyzed", dir="analyzed", seconds=_took())
 
     # --- Phase B: term dictionary (df/cf pre-pass) ------------------------
     termstats_dir = os.path.join(index_dir, "termstats")
@@ -581,7 +589,7 @@ def build_index(
             for f in os.listdir(termstats_dir)
             if f.endswith(".parquet")
         )
-        man.mark_done("termstats", dir="termstats", n_terms=int(n_terms))
+        man.mark_done("termstats", dir="termstats", n_terms=int(n_terms), seconds=_took())
 
     # --- Phase C: global doc stats (metadata-only: N from analyzed parquet
     # row counts, total tokens = Σcf from termstats) -----------------------
@@ -596,7 +604,7 @@ def build_index(
         cf_tbl = pa_dataset.dataset(termstats_dir).to_table(columns=["cf"])
         total_dl = int(pc.sum(cf_tbl["cf"]).as_py() or 0)
         avgdl = (total_dl / n_docs) if n_docs else 0.0
-        man.mark_done("stats", n_docs=n_docs, total_dl=total_dl, avgdl=avgdl)
+        man.mark_done("stats", n_docs=n_docs, total_dl=total_dl, avgdl=avgdl, seconds=_took())
     stats = man.phase("stats")
     avgdl = float(stats["avgdl"]) or 1.0
 
@@ -612,6 +620,7 @@ def build_index(
         heads = sorted(heads_tbl["term"].to_pylist())
         man.mark_done(
             "head_terms",
+            seconds=_took(),
             min_df=int(min_df),
             terms=heads,
             dfs={
@@ -668,6 +677,7 @@ def build_index(
             }
         man.mark_done(
             "postings",
+            seconds=_took(),
             buckets={str(k): v for k, v in sorted(buckets.items())},
             n_postings=int(sum(v["n_postings"] for v in buckets.values())),
             bytes=int(sum(v["bytes"] for v in buckets.values())),
