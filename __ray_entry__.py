@@ -46,6 +46,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct": dq.q_distinct,
         "union_counts": dq.q_union_counts,
         "window_hourly": dq.q_window_hourly,
+        "sessionize": dq.q_sessionize,
+        "top_per_group": dq.q_top_per_group,
         # fulltext / analysis operators (SURVEY.md §2.4)
         "token_count": dq.q_token_count,
         "term_df": dq.q_term_df,
@@ -133,6 +135,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, date_trunc('hour', ts) AS hour,
                    count(*) AS n, round(sum(value), 4) AS sum_value
             FROM events GROUP BY event_type, date_trunc('hour', ts)
+        """,
+        "sessionize": """
+            WITH g AS (
+                SELECT user_id,
+                       ts - lag(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS gap
+                FROM events)
+            SELECT user_id,
+                   count(*) FILTER (WHERE gap IS NULL
+                                    OR gap > INTERVAL '30 minutes') AS n_sessions
+            FROM g GROUP BY user_id ORDER BY user_id
+        """,
+        "top_per_group": """
+            SELECT event_type, event_id, value FROM (
+                SELECT event_type, event_id, value,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY value DESC, event_id) AS rn
+                FROM events) WHERE rn <= 3
+            ORDER BY event_type, event_id
         """,
         "token_count": f"""
             SELECT doc_id, len({tok}) AS n_tokens FROM documents

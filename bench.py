@@ -76,7 +76,11 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool) -> dict:
 
     from deces_dataprep_ray.corpus import ExtractText
     from deces_dataprep_ray.index.build import build_index
-    from deces_dataprep_ray.index.query import search_exact, search_wand
+    from deces_dataprep_ray.index.query import (
+        search_exact,
+        search_pruned,
+        search_wand,
+    )
     from deces_dataprep_ray.index.reader import IndexReader
 
     sf = corpus_sf(sf_dir)
@@ -106,10 +110,15 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool) -> dict:
 
     reader = IndexReader(index_dir)
 
-    # query latency: one warm pass, then timed
+    # query latency: one warm pass, then timed; `pruned` is the scale path,
+    # all three scorers are rank-identical (tested)
     for q in BENCH_QUERIES[:5]:
-        search_wand(reader, q, 10)
-    lat_wand, lat_exact = [], []
+        search_pruned(reader, q, 10)
+    lat_p, lat_wand, lat_exact = [], [], []
+    for q in BENCH_QUERIES:
+        t = time.time()
+        search_pruned(reader, q, 10)
+        lat_p.append(time.time() - t)
     for q in BENCH_QUERIES:
         t = time.time()
         search_wand(reader, q, 10)
@@ -118,6 +127,7 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool) -> dict:
         t = time.time()
         search_exact(reader, q, 10)
         lat_exact.append(time.time() - t)
+    queries["query_pruned_p50"] = round(statistics.median(lat_p), 4)
     queries["query_wand_p50"] = round(statistics.median(lat_wand), 4)
     queries["query_exact_p50"] = round(statistics.median(lat_exact), 4)
 

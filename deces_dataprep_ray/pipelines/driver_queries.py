@@ -214,6 +214,38 @@ def q_window_hourly(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def q_sessionize(sf_dir: str) -> pd.DataFrame:
+    """Sessionization over the event log (streaming-shaped workload,
+    SURVEY.md §2.5): per user, a >30-minute gap starts a new session —
+    groupby(user).map_groups over ts-sorted groups (Ray Data has no
+    event-time windows; the ordering assumption is per-group sort)."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        gap = g["ts"].diff()
+        n = int(1 + (gap > pd.Timedelta(minutes=30)).sum())
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]],
+                             "n_sessions": [n]})
+
+    out = ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return out.to_pandas().sort_values("user_id").reset_index(drop=True)
+
+
+def q_top_per_group(sf_dir: str) -> pd.DataFrame:
+    """Top-3 events per event_type by (value desc, event_id asc) — grouped
+    top-k via map_groups (the window-function shape)."""
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def top3(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["value", "event_id"],
+                             ascending=[False, True]).head(3)
+
+    out = ds.groupby("event_type").map_groups(top3, batch_format="pandas")
+    return (out.to_pandas()[["event_type", "event_id", "value"]]
+            .sort_values(["event_type", "event_id"]).reset_index(drop=True))
+
+
 # --- text / fulltext ops ---------------------------------------------------
 
 def q_token_count(sf_dir: str) -> pd.DataFrame:

@@ -31,20 +31,31 @@ import ray.data as rd
 _M61 = (1 << 61) - 1
 
 
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer."""
+    z = (x + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+    z ^= z >> np.uint64(30)
+    z *= np.uint64(0xBF58476D1CE4E5B9)
+    z ^= z >> np.uint64(27)
+    z *= np.uint64(0x94D049BB133111EB)
+    z ^= z >> np.uint64(31)
+    return z
+
+
 def _tokenize_shingles(text: str, k: int = 5) -> np.ndarray:
-    """Character k-gram shingle hashes (uint64) of a document."""
-    if len(text) < k:
-        text = text + " " * (k - len(text))
-    n = len(text) - k + 1
-    out = np.empty(n, np.uint64)
-    for i in range(n):
-        out[i] = np.uint64(
-            int.from_bytes(
-                hashlib.blake2b(text[i: i + k].encode(), digest_size=8).digest(),
-                "big",
-            )
-        )
-    return np.unique(out)
+    """Character k-gram shingle hashes (uint64), fully vectorized: sliding
+    byte windows × polynomial weights (mod 2^64) through a splitmix64
+    finalizer — no per-shingle Python or cryptographic hashing."""
+    b = np.frombuffer(text.encode("utf-8"), np.uint8)
+    if len(b) < k:
+        b = np.concatenate([b, np.full(k - len(b), 32, np.uint8)])
+    win = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
+    powers = np.empty(k, np.uint64)
+    powers[0] = 1
+    for j in range(1, k):
+        powers[j] = powers[j - 1] * np.uint64(1099511628211)
+    h = (win * powers).sum(axis=1, dtype=np.uint64)
+    return np.unique(_mix64(h))
 
 
 def _minhash(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
