@@ -325,10 +325,20 @@ def search_pruned(
     gathered = []
     for info in infos:
         rest_ub = total_ub - info["ub"]
+        keep_masks = [
+            info["idf"] * seg["blk_max_w"] + rest_ub >= theta - _EPS
+            for seg in info["segs"]
+        ]
+        if all(m.all() for m in keep_masks):
+            # nothing prunable for this term — take the reader's (cached)
+            # full decode instead of re-slicing blocks
+            docs, tfs, dls = reader.postings(info["term"])
+            w = bm25_weight(tfs, dls, reader.avgdl, reader.k1, reader.b)
+            gathered.append((docs, info["idf"] * w))
+            continue
         docs_parts, w_parts = [], []
-        for seg in info["segs"]:
-            bounds = info["idf"] * seg["blk_max_w"] + rest_ub
-            keep = np.flatnonzero(bounds >= theta - _EPS)
+        for seg, mask in zip(info["segs"], keep_masks):
+            keep = np.flatnonzero(mask)
             if len(keep) == 0:
                 continue
             # decode contiguous runs of surviving blocks in single calls
