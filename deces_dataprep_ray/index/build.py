@@ -564,8 +564,23 @@ def build_index(
         if os.path.exists(analyzed_dir):
             shutil.rmtree(analyzed_dir)
         analyzed.write_parquet(tmp_dir)
+        os.makedirs(tmp_dir, exist_ok=True)  # empty dataset writes nothing
         os.replace(tmp_dir, analyzed_dir)
         man.mark_done("analyzed", dir="analyzed", seconds=_took())
+
+    # empty input: no analyzed files → short-circuit every later phase
+    if not any(f.endswith(".parquet") for f in os.listdir(analyzed_dir)):
+        termstats_dir = os.path.join(index_dir, "termstats")
+        os.makedirs(termstats_dir, exist_ok=True)
+        if not man.phase_done("termstats"):
+            man.mark_done("termstats", dir="termstats", n_terms=0, seconds=_took())
+        if not man.phase_done("stats"):
+            man.mark_done("stats", n_docs=0, total_dl=0, avgdl=0.0, seconds=_took())
+        if not man.phase_done("head_terms"):
+            man.mark_done("head_terms", seconds=_took(), min_df=0, terms=[], dfs={})
+        if not man.phase_done("postings"):
+            man.mark_done("postings", seconds=_took(), buckets={}, n_postings=0, bytes=0)
+        return man
 
     # --- Phase B: term dictionary (df/cf pre-pass) ------------------------
     termstats_dir = os.path.join(index_dir, "termstats")
@@ -583,6 +598,7 @@ def build_index(
             if os.path.exists(d):
                 shutil.rmtree(d)
         df_ds.write_parquet(tmp_dir)
+        os.makedirs(tmp_dir, exist_ok=True)  # empty dataset writes nothing
         os.replace(tmp_dir, termstats_dir)
         n_terms = sum(
             pq.read_metadata(os.path.join(termstats_dir, f)).num_rows
@@ -599,10 +615,14 @@ def build_index(
             for f in os.listdir(analyzed_dir)
             if f.endswith(".parquet")
         )
-        import pyarrow.dataset as pa_dataset
+        ts_files = [f for f in os.listdir(termstats_dir) if f.endswith(".parquet")]
+        if ts_files:
+            import pyarrow.dataset as pa_dataset
 
-        cf_tbl = pa_dataset.dataset(termstats_dir).to_table(columns=["cf"])
-        total_dl = int(pc.sum(cf_tbl["cf"]).as_py() or 0)
+            cf_tbl = pa_dataset.dataset(termstats_dir).to_table(columns=["cf"])
+            total_dl = int(pc.sum(cf_tbl["cf"]).as_py() or 0)
+        else:
+            total_dl = 0
         avgdl = (total_dl / n_docs) if n_docs else 0.0
         man.mark_done("stats", n_docs=n_docs, total_dl=total_dl, avgdl=avgdl, seconds=_took())
     stats = man.phase("stats")
@@ -612,11 +632,15 @@ def build_index(
         min_df = head_min_df
         if min_df is None:
             min_df = max(64, int(stats["n_docs"] * head_df_ratio))
-        import pyarrow.dataset as pa_dataset
+        if any(f.endswith(".parquet") for f in os.listdir(termstats_dir)):
+            import pyarrow.dataset as pa_dataset
 
-        heads_tbl = pa_dataset.dataset(termstats_dir).to_table(
-            filter=pc.field("df") >= int(min_df)
-        )
+            heads_tbl = pa_dataset.dataset(termstats_dir).to_table(
+                filter=pc.field("df") >= int(min_df)
+            )
+        else:
+            heads_tbl = pa.table({"term": pa.array([], pa.large_string()),
+                                  "df": pa.array([], pa.int64())})
         heads = sorted(heads_tbl["term"].to_pylist())
         man.mark_done(
             "head_terms",
