@@ -64,6 +64,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": dq.q_simhash_pairs,
         "langid": dq.q_langid,
         "ann_lsh": dq.q_ann_lsh,
+        "ngram_dedup": dq.q_ngram_dedup,
+        "embed_dedup": dq.q_embed_dedup,
     }
 
 

@@ -438,6 +438,20 @@ def q_bm25_topk(sf_dir: str) -> pd.DataFrame:
                          "score": df["score"].to_numpy()})
 
 
+def _pairs_to_pandas(ds, float_col: str | None = None) -> pd.DataFrame:
+    """Normalize a (possibly empty) pair dataset to a typed DataFrame."""
+    out = ds.to_pandas()
+    if out.empty:
+        cols = {"id_a": pd.Series([], dtype="int64"),
+                "id_b": pd.Series([], dtype="int64")}
+        if float_col:
+            cols[float_col] = pd.Series([], dtype="float64")
+        return pd.DataFrame(cols)
+    if float_col:
+        out[float_col] = round_away(out[float_col], 6)
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 # --- rows-only (non-SQL-expressible) ---------------------------------------
 
 def q_minhash_pairs(sf_dir: str) -> pd.DataFrame:
@@ -446,17 +460,16 @@ def q_minhash_pairs(sf_dir: str) -> pd.DataFrame:
     from ..stages.dedup import minhash_lsh_duplicates
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    out = minhash_lsh_duplicates(ds, threshold=0.5, num_hashes=32,
-                                 num_bands=8).to_pandas()
-    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    return _pairs_to_pandas(
+        minhash_lsh_duplicates(ds, threshold=0.5, num_hashes=32, num_bands=8),
+        "jaccard")
 
 
 def q_simhash_pairs(sf_dir: str) -> pd.DataFrame:
     from ..stages.dedup import simhash_duplicates
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    out = simhash_duplicates(ds).to_pandas()
-    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    return _pairs_to_pandas(simhash_duplicates(ds))
 
 
 def q_langid(sf_dir: str) -> pd.DataFrame:
@@ -466,6 +479,27 @@ def q_langid(sf_dir: str) -> pd.DataFrame:
     out = ds.to_pandas()[["doc_id", "lang_pred", "lang_score"]]
     out["lang_score"] = round_away(out["lang_score"], 6)
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_ngram_dedup(sf_dir: str) -> pd.DataFrame:
+    """Near-dup pairs verified by exact n-gram Jaccard (LSH candidates,
+    set-intersection verify — rows-only)."""
+    from ..stages.dedup import ngram_jaccard_duplicates
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return _pairs_to_pandas(
+        ngram_jaccard_duplicates(ds, threshold=0.6, num_hashes=32,
+                                 num_bands=8), "jaccard")
+
+
+def q_embed_dedup(sf_dir: str) -> pd.DataFrame:
+    """Embedding-cosine near-dup pairs over the embeddings table
+    (LSH buckets + exact cosine verify — rows-only)."""
+    from ..stages.dedup import embedding_near_duplicates
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return _pairs_to_pandas(
+        embedding_near_duplicates(ds, threshold=0.4, nbits=6), "cosine")
 
 
 def q_ann_lsh(sf_dir: str) -> pd.DataFrame:

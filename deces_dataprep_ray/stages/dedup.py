@@ -26,6 +26,7 @@ from dataclasses import dataclass
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 
 _M61 = (1 << 61) - 1
@@ -315,6 +316,163 @@ def simhash_duplicates(
         return pd.DataFrame({"id_a": out_a, "id_b": out_b, "hamming": out_d})
 
     pairs = buckets.groupby("bucket").map_groups(verify, batch_format="pandas")
+    return pairs.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )
+
+
+def ngram_jaccard_duplicates(
+    ds: rd.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    threshold: float = 0.8,
+    shingle_k: int = 5,
+    num_hashes: int = 64,
+    num_bands: int = 16,
+    max_bucket: int = 1000,
+) -> rd.Dataset:
+    """Near-dup pairs verified by EXACT character-k-gram Jaccard.
+
+    MinHash-LSH proposes candidates (cheap, distributed); the exact Jaccard
+    runs only inside band groups, carrying the shingle sets as sorted hash
+    arrays (set ops on uint64 arrays, not text)."""
+    rows_per_band = num_hashes // num_bands
+
+    def sig_and_shingles(batch: pa.Table) -> pa.Table:
+        a, b = _perm_params(num_hashes)
+        ids = batch[id_col].to_numpy()
+        texts = ["" if t is None else t for t in batch[text_col].to_pylist()]
+        sh = [_tokenize_shingles(t, shingle_k) for t in texts]
+        sigs = np.stack([_minhash(s, a, b) for s in sh]) if texts else \
+            np.empty((0, num_hashes), np.uint64)
+        sh_lens = np.fromiter((len(x) for x in sh), np.int64, len(sh))
+        sh_off = np.zeros(len(sh) + 1, np.int64)
+        np.cumsum(sh_lens, out=sh_off[1:])
+        flat_sh = np.concatenate(sh) if len(sh) else np.empty(0, np.uint64)
+        sig_off = pa.array(
+            np.arange(0, (len(ids) + 1) * num_hashes, num_hashes,
+                      dtype=np.int64), pa.int64())
+        return pa.table({
+            id_col: batch[id_col],
+            "minhash": pa.LargeListArray.from_arrays(
+                sig_off, pa.array(sigs.reshape(-1), pa.uint64())),
+            "shingles": pa.LargeListArray.from_arrays(
+                pa.array(sh_off, pa.int64()), pa.array(flat_sh, pa.uint64())),
+        })
+
+    enriched = ds.map_batches(sig_and_shingles, batch_format="pyarrow")
+
+    def bands(batch: pa.Table) -> pa.Table:
+        base = _band_rows(batch, id_col=id_col, num_bands=num_bands,
+                          rows_per_band=rows_per_band)
+        sh_col = batch["shingles"].combine_chunks()
+        flat = sh_col.flatten().to_numpy().astype(np.uint64)
+        offs = np.zeros(len(batch) + 1, np.int64)
+        np.cumsum(pc.list_value_length(sh_col).to_numpy().astype(np.int64),
+                  out=offs[1:])
+        rep_off, rep_flat = [0], []
+        for i in range(len(batch)):
+            piece = flat[offs[i]: offs[i + 1]]
+            for _ in range(num_bands):
+                rep_flat.append(piece)
+        lens = np.repeat(np.diff(offs), num_bands)
+        out_off = np.zeros(len(lens) + 1, np.int64)
+        np.cumsum(lens, out=out_off[1:])
+        flat_out = np.concatenate(rep_flat) if rep_flat else np.empty(0, np.uint64)
+        return base.append_column(
+            "shingles",
+            pa.LargeListArray.from_arrays(pa.array(out_off, pa.int64()),
+                                          pa.array(flat_out, pa.uint64())))
+
+    banded = enriched.map_batches(bands, batch_format="pyarrow")
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
+        g = g.sort_values(id_col).head(max_bucket)
+        ids = g[id_col].to_numpy()
+        sets = [np.asarray(s, dtype=np.uint64) for s in g["shingles"]]
+        out_a, out_b, out_j = [], [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if ids[i] == ids[j]:
+                    continue
+                inter = len(np.intersect1d(sets[i], sets[j],
+                                           assume_unique=True))
+                union = len(sets[i]) + len(sets[j]) - inter
+                jac = inter / union if union else 1.0
+                if jac >= threshold:
+                    out_a.append(ids[i])
+                    out_b.append(ids[j])
+                    out_j.append(jac)
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "jaccard": out_j})
+
+    pairs = banded.groupby("band_key").map_groups(verify, batch_format="pandas")
+    return pairs.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )
+
+
+def embedding_near_duplicates(
+    ds: rd.Dataset,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    threshold: float = 0.95,
+    nbits: int = 8,
+    seed: int = 11,
+    max_bucket: int = 2000,
+) -> rd.Dataset:
+    """Embedding-cosine near-dup pairs: random-hyperplane LSH buckets the
+    vectors (each vector also probes its 1-bit-neighbor buckets so
+    borderline pairs are not lost), exact cosine verifies within buckets."""
+    from .ann import LshSignature, _to_matrix
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        m = _to_matrix(batch[vec_col])
+        sig = LshSignature(m.shape[1] if m.size else 1, nbits=nbits,
+                           seed=seed, id_col=id_col, vec_col=vec_col)
+        base = sig.bucket_of(m.astype(np.float32)) if m.size else \
+            np.empty(0, np.uint64)
+        parts = []
+        ids = batch[id_col]
+        for flip in range(nbits + 1):  # 0 = own bucket, else 1-bit probes
+            b = base if flip == 0 else base ^ np.uint64(1 << (flip - 1))
+            parts.append(pa.table({
+                "bucket": pa.array(b, pa.uint64()),
+                "is_home": pa.array(np.full(len(b), flip == 0), pa.bool_()),
+                id_col: ids,
+                vec_col: batch[vec_col],
+            }))
+        return pa.concat_tables(parts)
+
+    bucketed = ds.map_batches(bucketize, batch_format="pyarrow")
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        g = g.sort_values(id_col).head(max_bucket)
+        ids = g[id_col].to_numpy()
+        home = g["is_home"].to_numpy()
+        m = np.stack([np.asarray(v, np.float64) for v in g[vec_col]])
+        n = np.linalg.norm(m, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        sims = (m / n) @ (m / n).T
+        out_a, out_b, out_c = [], [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                # avoid duplicate reporting across probe buckets: require at
+                # least one side at home, and distinct ids
+                if ids[i] == ids[j] or not (home[i] or home[j]):
+                    continue
+                if sims[i, j] >= threshold:
+                    out_a.append(min(ids[i], ids[j]))
+                    out_b.append(max(ids[i], ids[j]))
+                    out_c.append(float(sims[i, j]))
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "cosine": out_c})
+
+    pairs = bucketed.groupby("bucket").map_groups(verify, batch_format="pandas")
     return pairs.groupby(["id_a", "id_b"]).map_groups(
         lambda g: g.head(1), batch_format="pandas"
     )

@@ -101,3 +101,37 @@ def test_lsh_topk_recall():
     # self (vec 7) must be found; recall should be non-trivial
     assert 7 in approx
     assert len(exact & approx) >= 3
+
+
+def test_ngram_jaccard_duplicates():
+    from deces_dataprep_ray.stages.dedup import ngram_jaccard_duplicates
+
+    pairs = ngram_jaccard_duplicates(
+        _doc_ds(), threshold=0.5, num_hashes=32, num_bands=8
+    ).to_pandas()
+    got = {(int(a), int(b)) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    assert (0, 1) in got and (0, 6) in got    # exact dups: jaccard 1.0
+    assert (0, 3) in got                       # superset text, high overlap
+    full = pairs[(pairs["id_a"] == 0) & (pairs["id_b"] == 1)]
+    assert full["jaccard"].iloc[0] == 1.0
+    assert not any((a, b) in got for a in (0, 1) for b in (4, 5, 7))
+
+
+def test_embedding_near_duplicates():
+    from deces_dataprep_ray.stages.dedup import embedding_near_duplicates
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((20, 16)).astype(np.float32)
+    # rows 20/21: near-copies of rows 0/1 (tiny noise)
+    near = np.vstack([base, base[0] + 0.01 * rng.standard_normal(16).astype(np.float32),
+                      base[1] + 0.01 * rng.standard_normal(16).astype(np.float32)])
+    n, d = near.shape
+    offs = pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int32), pa.int32())
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(n), pa.int64()),
+        "embedding": pa.ListArray.from_arrays(offs, pa.array(near.reshape(-1), pa.float32())),
+    }))
+    pairs = embedding_near_duplicates(ds, threshold=0.98, nbits=4).to_pandas()
+    got = {(int(a), int(b)) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    assert (0, 20) in got and (1, 21) in got
+    assert all(c >= 0.98 for c in pairs["cosine"])
