@@ -134,6 +134,17 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool) -> dict:
     if not headline_only:
         import ray.data as rd
 
+        from deces_dataprep_ray.index.service import QueryService
+
+        svc = QueryService(index_dir, num_workers=8)
+        qs = BENCH_QUERIES * 10
+        svc.search_batch(BENCH_QUERIES, 10)  # warm the pool
+        t = time.time()
+        svc.search_batch(qs, 10)
+        dt = time.time() - t
+        queries["service_qps_8workers"] = round(len(qs) / dt, 1)
+        svc.shutdown()
+
         t = time.time()
         out_dir = f"/tmp/dcray_bench/extract_{n_docs}"
         shutil.rmtree(out_dir, ignore_errors=True)

@@ -1,0 +1,76 @@
+"""Distributed BM25 serving: an actor pool of index readers.
+
+The reference serves queries from Elasticsearch nodes restored from a
+snapshot (`Makefile:206-220` + the sibling deces-backend **[public]**). Here
+serving is a pool of Ray actors, each holding an :class:`IndexReader` over
+the same relocatable index directory (bucket reads are lazy, so each actor
+warms only the buckets its queries touch). Queries are round-robined;
+throughput scales with the pool size since readers share nothing.
+
+This is the ``@ray.remote`` escape hatch the Dataset API genuinely cannot
+express (a long-lived shared read-only index served at low latency) —
+SURVEY.md §2.5 "stateful stages".
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import ray
+
+from .query import search as _search
+
+
+@ray.remote
+class _QueryWorker:
+    def __init__(self, index_dir: str):
+        from .reader import IndexReader
+
+        self.reader = IndexReader(index_dir)
+
+    def search(self, query: str, k: int = 10, algorithm: str = "pruned"):
+        return _search(self.reader, query, k, algorithm=algorithm)
+
+    def search_many(self, queries: list[str], k: int = 10,
+                    algorithm: str = "pruned"):
+        return [_search(self.reader, q, k, algorithm=algorithm)
+                for q in queries]
+
+
+class QueryService:
+    """Round-robin pool of query actors over one index directory."""
+
+    def __init__(self, index_dir: str, num_workers: int = 4,
+                 num_cpus_per_worker: float = 1.0):
+        self.workers = [
+            _QueryWorker.options(num_cpus=num_cpus_per_worker).remote(index_dir)
+            for _ in range(num_workers)
+        ]
+        self._rr = itertools.cycle(self.workers)
+
+    def search(self, query: str, k: int = 10, algorithm: str = "pruned"):
+        """Single query (blocking)."""
+        return ray.get(next(self._rr).search.remote(query, k, algorithm))
+
+    def search_batch(self, queries: list[str], k: int = 10,
+                     algorithm: str = "pruned") -> list:
+        """Fan a query batch across the pool; results in input order."""
+        n = len(self.workers)
+        shards: list[list[str]] = [[] for _ in range(n)]
+        owners: list[tuple[int, int]] = []
+        for i, q in enumerate(queries):
+            w = i % n
+            owners.append((w, len(shards[w])))
+            shards[w].append(q)
+        futures = [
+            self.workers[w].search_many.remote(shard, k, algorithm)
+            for w, shard in enumerate(shards) if shard
+        ]
+        live = [w for w, shard in enumerate(shards) if shard]
+        results = dict(zip(live, ray.get(futures)))
+        return [results[w][j] for w, j in owners]
+
+    def shutdown(self) -> None:
+        for w in self.workers:
+            ray.kill(w)
+        self.workers = []
