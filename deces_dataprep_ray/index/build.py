@@ -61,7 +61,6 @@ from ..state.manifest import (
     atomic_write_json,
     bucket_dir,
     done_buckets,
-    read_json,
 )
 
 ANALYZER_VERSION = "norm-v1"  # bump when analysis.py changes semantics

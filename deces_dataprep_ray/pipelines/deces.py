@@ -34,7 +34,6 @@ from ..stages import (
     ParseDate,
     Pipeline,
     RegexReplace,
-    Stage,
 )
 
 SRC_COLS = [

@@ -21,7 +21,6 @@ a logged drop count rather than a silent hang.
 from __future__ import annotations
 
 import hashlib
-from dataclasses import dataclass
 
 import numpy as np
 import pandas as pd
