@@ -683,7 +683,11 @@ def build_index(
             block_size=block_size,
         )
         manifest_rows = (
-            emit.groupby("bucket")
+            # pin the reduce partition count to the bucket count: the sort
+            # shuffle's object count is map_blocks × partitions, and letting
+            # partitions default to the (CPU-scaled) block count makes the
+            # shuffle MORE expensive on bigger clusters
+            emit.groupby("bucket", num_partitions=num_buckets)
             .map_groups(reduce_fn, batch_format="pyarrow")
             .to_pandas()
         )
