@@ -178,6 +178,7 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool) -> dict:
 
     man = reader.manifest
     n_postings = man.phase("postings").get("n_postings", 0)
+    phase_seconds = {k: v.get("seconds") for k, v in man.doc["phases"].items()}
     result = {
         "metric": "index_build_sec",
         "value": round(build_sec, 3),
@@ -188,6 +189,7 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool) -> dict:
         "docs": n_docs,
         "docs_per_sec": round(n_docs / build_sec, 1),
         "n_postings": int(n_postings),
+        "phase_seconds": phase_seconds,
     }
     ray.shutdown()
     return result
@@ -244,6 +246,8 @@ def run_scaling(sf_dir: str) -> dict:
         "docs_per_sec_32cpu": rate_hi,
         "docs": lo["docs"],
         "sf": lo["sf"],
+        "phase_seconds_8cpu": lo.get("phase_seconds"),
+        "phase_seconds_32cpu": hi.get("phase_seconds"),
         "queries": {"build_8cpu": lo["value"], "build_32cpu": hi["value"]},
     }
 

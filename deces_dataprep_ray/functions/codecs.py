@@ -74,6 +74,15 @@ def vb_decode(buf: bytes | memoryview | np.ndarray, count: int | None = None) ->
     return vals
 
 
+def vb_lengths(values: np.ndarray) -> np.ndarray:
+    """Encoded byte length per value (1..10), vectorized."""
+    v = np.ascontiguousarray(values, dtype=_U64)
+    nb = np.ones(v.size, dtype=np.int64)
+    for k in range(1, 10):
+        nb += (v >= _U64(1) << _U64(7 * k)).astype(np.int64)
+    return nb
+
+
 def delta_encode(sorted_vals: np.ndarray) -> np.ndarray:
     """First value absolute, then gaps. Input must be strictly increasing."""
     v = np.ascontiguousarray(sorted_vals, dtype=_U64)
@@ -111,43 +120,39 @@ def encode_postings_blocks(
     n = int(doc_ids.size)
     doc_ids = np.ascontiguousarray(doc_ids, dtype=_U64)
     deltas = delta_encode(doc_ids)
-    nblk = (n + block_size - 1) // block_size
-    blk_last = np.empty(nblk, dtype=_U64)
-    blk_max_w = np.empty(nblk, dtype=np.float64)
-    blk_count = np.empty(nblk, dtype=np.int32)
-    off_doc = np.empty(nblk, dtype=np.uint32)
-    off_tf = np.empty(nblk, dtype=np.uint32)
-    off_dl = np.empty(nblk, dtype=np.uint32)
-    doc_parts: list[bytes] = []
-    tf_parts: list[bytes] = []
-    dl_parts: list[bytes] = []
-    pos_doc = pos_tf = pos_dl = 0
-    for i in range(nblk):
-        lo, hi = i * block_size, min((i + 1) * block_size, n)
-        blk_last[i] = doc_ids[hi - 1]
-        blk_max_w[i] = float(weights[lo:hi].max())
-        blk_count[i] = hi - lo
-        db = vb_encode(deltas[lo:hi])
-        tb = vb_encode(tfs[lo:hi])
-        lb = vb_encode(dls[lo:hi])
-        off_doc[i], off_tf[i], off_dl[i] = pos_doc, pos_tf, pos_dl
-        pos_doc += len(db)
-        pos_tf += len(tb)
-        pos_dl += len(lb)
-        doc_parts.append(db)
-        tf_parts.append(tb)
-        dl_parts.append(lb)
+    tfs64 = np.ascontiguousarray(tfs, dtype=_U64)
+    dls64 = np.ascontiguousarray(dls, dtype=_U64)
+    # block boundaries — fully vectorized: block i's first delta is already
+    # relative to block i-1's last doc (it's just the global delta), so one
+    # whole-stream varbyte encode per column is byte-identical to per-block
+    # encodes concatenated; block byte offsets come from per-value lengths
+    starts = np.arange(0, max(n, 1), block_size, dtype=np.int64)
+    if n == 0:
+        starts = starts[:0]
+    ends = np.minimum(starts + block_size, n)
+    blk_last = doc_ids[ends - 1] if n else np.empty(0, _U64)
+    blk_max_w = (
+        np.maximum.reduceat(np.asarray(weights, np.float64), starts)
+        if n else np.empty(0, np.float64)
+    )
+    blk_count = (ends - starts).astype(np.int32)
+
+    def offsets_for(vals: np.ndarray) -> np.ndarray:
+        cum = np.zeros(len(vals) + 1, dtype=np.int64)
+        np.cumsum(vb_lengths(vals), out=cum[1:])
+        return cum[starts].astype(np.uint32)
+
     return {
         "n": n,
-        "doc_bytes": b"".join(doc_parts),
-        "tf_bytes": b"".join(tf_parts),
-        "dl_bytes": b"".join(dl_parts),
+        "doc_bytes": vb_encode(deltas),
+        "tf_bytes": vb_encode(tfs64),
+        "dl_bytes": vb_encode(dls64),
         "blk_last": blk_last,
         "blk_max_w": blk_max_w,
         "blk_count": blk_count,
-        "blk_off_doc": off_doc,
-        "blk_off_tf": off_tf,
-        "blk_off_dl": off_dl,
+        "blk_off_doc": offsets_for(deltas),
+        "blk_off_tf": offsets_for(tfs64),
+        "blk_off_dl": offsets_for(dls64),
     }
 
 

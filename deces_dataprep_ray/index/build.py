@@ -6,11 +6,11 @@ the inverted index (`Makefile:161-175` recipe-run → ES bulk; analysis config
 pipeline:
 
   read_parquet(pages)
-    → map_batches(AnalyzeDocs, actor pool)       # tokenize, fold, tf per doc
+    → map_batches(analyze, task pool)            # tokenize, fold, tf per doc
     → write_parquet(analyzed/)                   # checkpoint + docstore
-  read(analyzed[dl])      → aggregate            # N, total_dl, avgdl
-  read(analyzed[terms])   → per-batch unique → groupby(term).sum  # head terms
-  read(analyzed)          → map_batches(EmitPartials, actor pool) # SPIMI:
+  read(analyzed[terms,tfs]) → df/cf partials → groupby(term).sum  # termstats
+  (stats fall out of termstats: N from parquet metadata, Σcf = tokens)
+  read(analyzed)          → map_batches(EmitPartials, task pool)  # SPIMI:
         per-batch (term, seg) partial postings, sorted by doc_id, routed to a
         term-hash bucket; head terms are SALTED into ``salt_shards`` doc-range
         segments so no single group holds a Zipf head term's full postings
@@ -251,6 +251,11 @@ class EmitPartials:
             if len(inv) == 0:
                 return _empty_partials()
 
+        # Lucene-style quantization for the shuffle: tf saturates at 255,
+        # dl at 65535 (uint8/uint16 instead of uint32 — 31% less exchange
+        # volume; BM25's tf/(tf+k) is asymptotically flat there anyway)
+        flat_tfs = np.minimum(flat_tfs, 255).astype(np.uint8)
+        dl_rep = np.minimum(dl_rep, 65535).astype(np.uint16)
         order = np.lexsort((doc_rep, salt, inv))
         inv_s = inv[order]
         salt_s = salt[order]
@@ -274,10 +279,10 @@ class EmitPartials:
                     off_arr, pa.array(doc_rep[order], pa.uint64())
                 ),
                 "tfs": pa.LargeListArray.from_arrays(
-                    off_arr, pa.array(flat_tfs[order], pa.uint32())
+                    off_arr, pa.array(flat_tfs[order], pa.uint8())
                 ),
                 "dls": pa.LargeListArray.from_arrays(
-                    off_arr, pa.array(dl_rep[order], pa.uint32())
+                    off_arr, pa.array(dl_rep[order], pa.uint16())
                 ),
             }
         )
@@ -291,8 +296,8 @@ def _empty_partials() -> pa.Table:
             "term": pa.array([], pa.large_string()),
             "seg": pa.array([], pa.int32()),
             "docs": pa.LargeListArray.from_arrays(off, pa.array([], pa.uint64())),
-            "tfs": pa.LargeListArray.from_arrays(off, pa.array([], pa.uint32())),
-            "dls": pa.LargeListArray.from_arrays(off, pa.array([], pa.uint32())),
+            "tfs": pa.LargeListArray.from_arrays(off, pa.array([], pa.uint8())),
+            "dls": pa.LargeListArray.from_arrays(off, pa.array([], pa.uint16())),
         }
     )
 
@@ -587,9 +592,11 @@ def build_index(
         df_ds = (
             rd.read_parquet(analyzed_dir, columns=["terms", "tfs"],
                             override_num_blocks=nblocks)
+            # 4x batches: partial rows per batch ≈ the batch's vocabulary,
+            # so bigger batches shrink the string-keyed aggregate's input
             .map_batches(_df_cf_partials, batch_format="pyarrow",
-                         batch_size=batch_size)
-            .groupby("term")
+                         batch_size=batch_size * 4)
+            .groupby("term", num_partitions=min(16, nblocks))
             .aggregate(Sum("df", alias_name="df"), Sum("cf", alias_name="cf"))
         )
         tmp_dir = termstats_dir + ".tmp"
