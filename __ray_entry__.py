@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct": dq.q_distinct,
         "union_counts": dq.q_union_counts,
         "window_hourly": dq.q_window_hourly,
+        "hash_join": dq.q_hash_join,
         "sessionize": dq.q_sessionize,
         "top_per_group": dq.q_top_per_group,
         # fulltext / analysis operators (SURVEY.md §2.4)
@@ -137,6 +138,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, date_trunc('hour', ts) AS hour,
                    count(*) AS n, round(sum(value), 4) AS sum_value
             FROM events GROUP BY event_type, date_trunc('hour', ts)
+        """,
+        "hash_join": """
+            SELECT o.o_orderpriority, count(*) AS n,
+                   round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2)
+                   AS sum_rev
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
         """,
         "sessionize": """
             WITH g AS (

@@ -214,6 +214,32 @@ def q_window_hourly(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def q_hash_join(sf_dir: str) -> pd.DataFrame:
+    """Large x large partitioned hash join (both sides shuffled by key
+    bucket — the join class the reference lacks; SURVEY.md §2.5) + rollup."""
+    from ..stages.join import hash_join
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    items = _read(sf_dir, "lineitem",
+                  ["l_orderkey", "l_extendedprice", "l_discount"])
+    joined = hash_join(orders, items, {"o_orderkey": "l_orderkey"},
+                       how="inner", bucket_count=32)
+
+    def rev(t: pa.Table) -> pa.Table:
+        r = pc.multiply(t["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"o_orderpriority": t["o_orderpriority"],
+                         "revenue": r})
+
+    out = (joined.map_batches(rev, batch_format="pyarrow")
+           .groupby("o_orderpriority")
+           .aggregate(Count(alias_name="n"),
+                      Sum("revenue", alias_name="sum_rev"))
+           .to_pandas())
+    out["sum_rev"] = round_away(out["sum_rev"], 2)
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
 def q_sessionize(sf_dir: str) -> pd.DataFrame:
     """Sessionization over the event log (streaming-shaped workload,
     SURVEY.md §2.5): per user, a >30-minute gap starts a new session —
