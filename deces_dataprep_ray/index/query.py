@@ -362,6 +362,90 @@ def search_pruned(
     return _topk_from_scores(union, scores, k)
 
 
+def search_and(
+    reader: IndexReader, query: str, k: int = 10
+) -> list[tuple[int, float]]:
+    """Conjunctive top-k: only docs containing ALL query terms score —
+    ES ``match`` with ``operator: and`` semantics. Scores are the same BM25
+    sums as the OR scorers (same float order), restricted to the
+    intersection."""
+    terms = analyze_query(query)
+    if not terms:
+        return []
+    gathered = []
+    for t in terms:
+        docs, tfs, dls = reader.postings(t)
+        if len(docs) == 0:
+            return []  # a missing term empties the conjunction
+        gathered.append((t, docs, tfs, dls))
+    inter = gathered[0][1]
+    for _, docs, _, _ in gathered[1:]:
+        inter = np.intersect1d(inter, docs, assume_unique=True)
+        if len(inter) == 0:
+            return []
+    scores = np.zeros(len(inter), dtype=np.float64)
+    for t, docs, tfs, dls in gathered:  # sorted term order
+        w = bm25_weight(tfs, dls, reader.avgdl, reader.k1, reader.b)
+        contrib = idf(reader.n_docs, len(docs)) * w
+        pos = np.searchsorted(docs, inter)
+        scores += contrib[pos]
+    return _topk_from_scores(inter, scores, k)
+
+
+def expand_prefix(reader: IndexReader, prefix: str,
+                  max_expansions: int = 1024) -> list[str]:
+    """Terms starting with ``prefix``, from the termstats dictionary.
+
+    The reference accelerates year/year-month prefix search with ES
+    ``index_prefixes`` (`datasets/deces_index.yml:79-82,118-121`); here the
+    sorted term dictionary serves the expansion (a dictionary range scan —
+    row-group pruned by parquet statistics). Expansion is capped like ES
+    ``max_expansions``; the cap keeps the largest-df terms (most selective
+    ranking signal comes from them under OR semantics)."""
+    import os
+
+    import pyarrow.dataset as pa_ds
+
+    ts_dir = os.path.join(reader.index_dir, "termstats")
+    if not os.path.isdir(ts_dir):
+        return []
+    import pyarrow.compute as pc
+
+    tbl = pa_ds.dataset(ts_dir).to_table(
+        columns=["term", "df"],
+        filter=pc.starts_with(pc.field("term"), prefix),
+    )
+    terms = tbl["term"].to_pylist()
+    if len(terms) > max_expansions:
+        dfs = tbl["df"].to_numpy()
+        keep = np.argsort(-dfs, kind="stable")[:max_expansions]
+        terms = [terms[i] for i in sorted(keep)]
+    return sorted(terms)
+
+
+def search_prefix(
+    reader: IndexReader, query: str, k: int = 10,
+    max_expansions: int = 1024,
+) -> list[tuple[int, float]]:
+    """Prefix query: tokens ending in ``*`` expand to all dictionary terms
+    with that prefix; the expanded unique term set scores as a plain OR
+    BM25 (each expanded term contributes its own idf — multi-term
+    expansion semantics, defined here and mirrored by the SQL oracle)."""
+    raw = query.split()
+    expanded: set[str] = set()
+    for tok in raw:
+        if tok.endswith("*") and len(tok) > 1:
+            base = analyze_query(tok[:-1])
+            if base:
+                expanded.update(expand_prefix(reader, base[-1], max_expansions))
+                expanded.update(base[:-1])
+        else:
+            expanded.update(analyze_query(tok))
+    if not expanded:
+        return []
+    return search_exact(reader, " ".join(sorted(expanded)), k)
+
+
 def search(
     reader: IndexReader, query: str, k: int = 10, algorithm: str = "pruned"
 ) -> list[tuple[int, float]]:

@@ -478,6 +478,42 @@ def _pairs_to_pandas(ds, float_col: str | None = None) -> pd.DataFrame:
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+def _rounded_topk(res, reader, k=10):
+    """Deep-fetch + re-rank by (rounded score, doc_id) — the only
+    cross-engine-stable ordering (see q_bm25_topk)."""
+    urls = reader.resolve_urls([d for d, _ in res])
+    df = pd.DataFrame({
+        "orig_id": [int(urls[d].removeprefix("doc://")) for d, _ in res],
+        "score": round_away([s for _, s in res], 6),
+    })
+    df = df.sort_values(["score", "orig_id"], ascending=[False, True]).head(k)
+    return pd.DataFrame({"doc_id": df["orig_id"].to_numpy(),
+                         "score": df["score"].to_numpy()})
+
+
+def q_bm25_and(sf_dir: str) -> pd.DataFrame:
+    """Conjunctive BM25 (ES match operator=and): docs containing ALL query
+    terms, scored identically to the OR path."""
+    from ..index.query import search_and
+    from ..index.reader import IndexReader
+
+    reader = IndexReader(_index_for(sf_dir))
+    res = search_and(reader, "data spark window", k=200)
+    return _rounded_topk(res, reader)
+
+
+def q_bm25_prefix(sf_dir: str) -> pd.DataFrame:
+    """Prefix query (the reference's index_prefixes use case,
+    `datasets/deces_index.yml:79-82`): s* expands via the term dictionary,
+    expanded set scores as OR BM25."""
+    from ..index.query import search_prefix
+    from ..index.reader import IndexReader
+
+    reader = IndexReader(_index_for(sf_dir))
+    res = search_prefix(reader, "s*", k=200)
+    return _rounded_topk(res, reader)
+
+
 # --- rows-only (non-SQL-expressible) ---------------------------------------
 
 def q_minhash_pairs(sf_dir: str) -> pd.DataFrame:

@@ -202,3 +202,42 @@ def test_golden_topk(built_index):
             assert [d for d, _ in got] == [x["doc_id"] for x in case["results"]]
             for (_, s), x in zip(got, case["results"]):
                 assert abs(s - x["score"]) < 1e-12, case["query"]
+
+
+def test_search_and_conjunctive(built_index, brute_force):
+    from deces_dataprep_ray.index.query import search_and
+
+    idx, _ = built_index
+    inv, dls = brute_force
+    r = IndexReader(idx)
+    q = "term1 term2 term4"
+    res = search_and(r, q, 50)
+    terms = analyze_query(q)
+    inter = set(inv[terms[0]])
+    for t in terms[1:]:
+        inter &= set(inv[t])
+    assert {d for d, _ in res} <= inter
+    # scores equal the OR scorer's scores for the same docs
+    or_scores = dict(search_exact(r, q, 10_000))
+    for d, s in res:
+        assert s == or_scores[d]
+    # all-terms docs that the OR scorer ranks are present up to k
+    assert len(res) == min(50, len(inter))
+    assert search_and(r, "term1 zzz_absent", 10) == []
+
+
+def test_search_prefix_expansion(built_index, brute_force):
+    from deces_dataprep_ray.index.query import expand_prefix, search_prefix
+
+    idx, _ = built_index
+    inv, _ = brute_force
+    r = IndexReader(idx)
+    terms = expand_prefix(r, "term12")
+    want = sorted(t for t in inv if t.startswith("term12"))
+    assert terms == want
+    res = search_prefix(r, "term12*", 10)
+    manual = search_exact(r, " ".join(want), 10)
+    assert res == manual
+    assert search_prefix(r, "zzzz*", 10) == []
+    # cap respected
+    assert len(expand_prefix(r, "term", max_expansions=7)) == 7
