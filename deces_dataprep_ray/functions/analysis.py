@@ -140,9 +140,6 @@ def tokenize_many(
     return [[s for t in toks for s in cache[t]] for toks in tok_lists]
 
 
-_TOKEN_RE = re.compile(r"[^\W_]+", re.UNICODE)
-
-
 class TokenFolder:
     """Memoized token-level folding.
 

@@ -63,7 +63,7 @@ from ..state.manifest import (
     done_buckets,
 )
 
-ANALYZER_VERSION = "norm-v1"  # bump when analysis.py changes semantics
+ANALYZER_VERSION = "norm-v2"  # bump when analysis.py changes semantics
 
 
 # ---------------------------------------------------------------------------

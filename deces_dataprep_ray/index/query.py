@@ -47,12 +47,15 @@ def _topk_from_scores(
     if n == 0:
         return []
     kk = min(k, n)
-    # partial select then exact order
+    # partial select, then take EVERY doc tied at the k-th score so the
+    # (score desc, doc_id asc) tie-break is exact even under massive ties
     if n > 4 * kk:
-        part = np.argpartition(-scores, kk - 1)[: 4 * kk]
+        part = np.argpartition(-scores, kk - 1)
+        kth = scores[part[:kk]].min()
+        cand = np.flatnonzero(scores >= kth)
     else:
-        part = np.arange(n)
-    order = part[np.lexsort((doc_ids[part], -scores[part]))][:kk]
+        cand = np.arange(n)
+    order = cand[np.lexsort((doc_ids[cand], -scores[cand]))][:kk]
     return [(int(doc_ids[i]), float(scores[i])) for i in order]
 
 
@@ -435,10 +438,13 @@ def search_prefix(
     expanded: set[str] = set()
     for tok in raw:
         if tok.endswith("*") and len(tok) > 1:
-            base = analyze_query(tok[:-1])
-            if base:
-                expanded.update(expand_prefix(reader, base[-1], max_expansions))
-                expanded.update(base[:-1])
+            # positional tokenization: the starred token's LAST subtoken is
+            # the prefix stem ('marie-an*' → exact 'marie' + prefix 'an'),
+            # not analyze_query's lexicographically-last
+            toks = tokenize(tok[:-1])
+            if toks:
+                expanded.update(expand_prefix(reader, toks[-1], max_expansions))
+                expanded.update(toks[:-1])
         else:
             expanded.update(analyze_query(tok))
     if not expanded:

@@ -1,34 +1,87 @@
 """Deduplication at scale: exact, MinHash+LSH, SimHash, n-gram Jaccard.
 
-Shapes (all Ray-Data-first, no driver-side row loops):
+Shapes (all Ray-Data-first, no driver-side row loops over the corpus):
 
 - exact: vectorized content hash in map_batches → groupby(hash) →
   map_groups(keep min id). The hash column (16 bytes) shuffles, not the text.
 - MinHash-LSH: shingle → k minhashes per doc (one vectorized pass) → explode
-  to (band_id, band_hash, doc_id) rows → groupby(band) → candidate pairs →
-  exact-Jaccard verify inside the group. Band rows are tiny; the shuffle
-  volume is docs × bands, independent of text size.
+  to (band_key, doc_id, signature) rows → groupby(band) → candidate pairs →
+  signature-estimated Jaccard verify inside the group. Band rows are tiny;
+  the shuffle volume is docs × bands, independent of text size.
 - SimHash: 64-bit weighted-token hash; near-dups = hamming distance ≤ t,
   found by bucketing on 4 x 16-bit chunks (t ≤ 3 guarantees a shared chunk).
-- n-gram Jaccard: exact verification kernel used by the LSH path; also
-  exposed standalone for small candidate sets.
+- n-gram Jaccard: LSH proposes candidates from signature rows ONLY (no
+  shingle arrays enter the shuffle); the exact character-k-gram Jaccard runs
+  in a second, candidate-bounded pass that re-shingles just the candidate
+  docs and verifies pairs against a broadcast shingle map.
 
 At 10^12 docs: every stage is a map_batches + one groupby on a small-row
 table; head buckets (boilerplate shingles) are bounded by ``max_bucket`` with
-a logged drop count rather than a silent hang.
+a logged drop count — pass a ``DropCounter`` actor handle as ``drop_counter``
+to collect the exact number of dropped candidates across all workers.
 """
 
 from __future__ import annotations
 
 import hashlib
+import logging
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-import pyarrow.compute as pc
+import ray
 import ray.data as rd
+from ray.data.aggregate import Min
+
+logger = logging.getLogger(__name__)
 
 _M61 = (1 << 61) - 1
+_FNV = 1099511628211
+# FNV-prime powers mod 2^64 for the rolling polynomial, exact via Python ints
+# (computed once at import — no per-batch setup, no uint64 overflow warnings)
+_MAX_SHINGLE_K = 64
+_POW64 = np.array([pow(_FNV, j, 1 << 64) for j in range(_MAX_SHINGLE_K)],
+                  dtype=np.uint64)
+
+
+@ray.remote(num_cpus=0)
+class DropCounter:
+    """Side-metric actor: counts candidates dropped by ``max_bucket`` caps."""
+
+    def __init__(self) -> None:
+        self.n = 0
+
+    def add(self, k: int) -> None:
+        self.n += int(k)
+
+    def total(self) -> int:
+        return self.n
+
+
+def _bound_bucket(g: pd.DataFrame, max_bucket: int, drop_counter, what: str
+                  ) -> pd.DataFrame:
+    """Cap a verification bucket at ``max_bucket`` rows, NEVER silently:
+    the drop count is logged and (if given) accumulated on the counter actor."""
+    if len(g) > max_bucket:
+        dropped = len(g) - max_bucket
+        if drop_counter is not None:
+            drop_counter.add.remote(dropped)
+        logger.warning("%s: bucket of %d capped at max_bucket=%d "
+                       "(%d candidates dropped)", what, len(g), max_bucket,
+                       dropped)
+        g = g.head(max_bucket)
+    return g
+
+
+def _unique_pairs(pairs: rd.Dataset, value_col: str) -> rd.Dataset:
+    """One row per (id_a, id_b). A pair colliding in several bands/buckets
+    carries the SAME verification value in each, so map-side local dedup +
+    a tiny min-aggregate replaces a full second map_groups shuffle."""
+    local = pairs.map_batches(
+        lambda df: df.drop_duplicates(["id_a", "id_b"]),
+        batch_format="pandas")
+    return local.groupby(["id_a", "id_b"]).aggregate(
+        Min(value_col, alias_name=value_col))
 
 
 def _mix64(x: np.ndarray) -> np.ndarray:
@@ -44,18 +97,36 @@ def _mix64(x: np.ndarray) -> np.ndarray:
 
 def _tokenize_shingles(text: str, k: int = 5) -> np.ndarray:
     """Character k-gram shingle hashes (uint64), fully vectorized: sliding
-    byte windows × polynomial weights (mod 2^64) through a splitmix64
-    finalizer — no per-shingle Python or cryptographic hashing."""
+    byte windows × polynomial weights (mod 2^64, intentional wraparound)
+    through a splitmix64 finalizer — no per-shingle Python or crypto hashing."""
     b = np.frombuffer(text.encode("utf-8"), np.uint8)
     if len(b) < k:
         b = np.concatenate([b, np.full(k - len(b), 32, np.uint8)])
     win = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
-    powers = np.empty(k, np.uint64)
-    powers[0] = 1
-    for j in range(1, k):
-        powers[j] = powers[j - 1] * np.uint64(1099511628211)
-    h = (win * powers).sum(axis=1, dtype=np.uint64)
+    h = (win * _POW64[:k]).sum(axis=1, dtype=np.uint64)
     return np.unique(_mix64(h))
+
+
+def _mulmod_m61(a: np.ndarray, x: np.ndarray) -> np.ndarray:
+    """Exact (a * x) mod M61 for uint64 operands < M61, broadcastable.
+
+    The 122-bit product never materializes: split both operands at 32 bits,
+    reduce each partial with 2^61 ≡ 1 (so 2^64 ≡ 8 and v·2^32 is a 61-bit
+    rotation). Every intermediate fits uint64, so the universal-hash family
+    (a·x + b) mod p is the REAL one — not the mod-2^64-wrapped approximation.
+    """
+    m61 = np.uint64(_M61)
+    lo32 = np.uint64(0xFFFFFFFF)
+    a_hi, a_lo = a >> np.uint64(32), a & lo32          # a_hi < 2^29
+    x_hi, x_lo = x >> np.uint64(32), x & lo32          # x_hi < 2^29
+    hh = (a_hi * x_hi) % m61                           # < 2^58, exact
+    mid = (a_hi * x_lo + a_lo * x_hi) % m61            # < 2^62, exact
+    ll = (a_lo * x_lo) % m61                           # < 2^64, exact
+    t_hh = (hh * np.uint64(8)) % m61                   # hh·2^64 ≡ hh·8
+    # mid·2^32 mod M61 = 61-bit rotate-left by 32
+    t_mid = (((mid & np.uint64((1 << 29) - 1)) << np.uint64(32))
+             + (mid >> np.uint64(29))) % m61
+    return (t_hh + t_mid + ll) % m61
 
 
 def _minhash(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -63,8 +134,7 @@ def _minhash(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
     if len(shingles) == 0:
         return np.zeros(len(a), np.uint64)
     x = (shingles % np.uint64(_M61)).astype(np.uint64)
-    # (a*x + b) mod M61 per permutation — vectorized outer product
-    prod = (a[:, None] * x[None, :] + b[:, None]) % np.uint64(_M61)
+    prod = (_mulmod_m61(a[:, None], x[None, :]) + b[:, None]) % np.uint64(_M61)
     return prod.min(axis=1).astype(np.uint64)
 
 
@@ -113,7 +183,7 @@ def _band_rows(batch: pa.Table, *, id_col: str, num_bands: int,
         seg = sigs[:, bnd * rows_per_band: (bnd + 1) * rows_per_band]
         h = np.uint64(1469598103934665603)
         for c in range(rows_per_band):
-            h = (h ^ seg[:, c]) * np.uint64(1099511628211)
+            h = (h ^ seg[:, c]) * np.uint64(_FNV)
         band_hash[:, bnd] = h
     band_id = np.tile(np.arange(num_bands, dtype=np.int32), len(ids))
     return pa.table({
@@ -122,6 +192,26 @@ def _band_rows(batch: pa.Table, *, id_col: str, num_bands: int,
             ^ (band_hash.reshape(-1) >> np.uint64(8)), pa.uint64()),
         id_col: pa.array(np.repeat(ids, num_bands)),
     })
+
+
+def band_rows_with_sig(batch: pa.Table, *, id_col: str, num_bands: int,
+                       rows_per_band: int) -> pa.Table:
+    """Band rows carrying ONLY (band_key, id, minhash signature) into the
+    shuffle — signatures are num_hashes×8 bytes/doc/band; shingle arrays and
+    text NEVER enter the exchange (tested: schema has exactly 3 columns)."""
+    base = _band_rows(batch, id_col=id_col, num_bands=num_bands,
+                      rows_per_band=rows_per_band)
+    sig_col = batch["minhash"].combine_chunks()
+    flat = sig_col.flatten().to_numpy().astype(np.uint64)
+    nh = num_bands * rows_per_band
+    rep = np.repeat(np.arange(len(batch), dtype=np.int64), num_bands)
+    sig_rep = flat.reshape(len(batch), nh)[rep]
+    offs = pa.array(np.arange(0, (len(rep) + 1) * nh, nh, dtype=np.int64),
+                    pa.int64())
+    return base.append_column(
+        "minhash",
+        pa.LargeListArray.from_arrays(offs, pa.array(sig_rep.reshape(-1),
+                                                     pa.uint64())))
 
 
 def minhash_lsh_duplicates(
@@ -135,13 +225,16 @@ def minhash_lsh_duplicates(
     threshold: float = 0.8,
     max_bucket: int = 1000,
     concurrency: int | tuple[int, int] = (1, 4),
+    drop_counter=None,
 ) -> rd.Dataset:
-    """Near-duplicate pairs (id_a < id_b, jaccard ≥ threshold).
+    """Near-duplicate pairs (id_a < id_b, signature-estimated jaccard ≥
+    threshold).
 
     Candidate pairs come from LSH band collisions; each candidate pair is
-    verified with exact signature-estimated Jaccard inside the band group
-    (signatures travel with the band rows via a second broadcast-free join:
-    we re-attach signatures by carrying them in the group).
+    verified with signature-estimated Jaccard (fraction of equal minhash
+    components) inside the band group — signatures travel with the band rows
+    so verification needs no join. For EXACT jaccard use
+    :func:`ngram_jaccard_duplicates`.
     """
     rows_per_band = num_hashes // num_bands
     sigs = ds.map_batches(
@@ -151,28 +244,17 @@ def minhash_lsh_duplicates(
         batch_format="pyarrow",
         concurrency=concurrency,
     )
-    # carry the signature into the band rows so verification needs no join
-    def band_with_sig(batch: pa.Table) -> pa.Table:
-        base = _band_rows(batch, id_col=id_col, num_bands=num_bands,
-                          rows_per_band=rows_per_band)
-        sig_col = batch["minhash"].combine_chunks()
-        flat = sig_col.flatten().to_numpy().astype(np.uint64)
-        nh = num_bands * rows_per_band
-        rep = np.repeat(np.arange(len(batch), dtype=np.int64), num_bands)
-        sig_rep = flat.reshape(len(batch), nh)[rep]
-        offs = pa.array(np.arange(0, (len(rep) + 1) * nh, nh, dtype=np.int64),
-                        pa.int64())
-        return base.append_column(
-            "minhash",
-            pa.LargeListArray.from_arrays(offs, pa.array(sig_rep.reshape(-1),
-                                                         pa.uint64())))
-
-    bands = sigs.map_batches(band_with_sig, batch_format="pyarrow")
+    bands = sigs.map_batches(
+        band_rows_with_sig,
+        fn_kwargs=dict(id_col=id_col, num_bands=num_bands,
+                       rows_per_band=rows_per_band),
+        batch_format="pyarrow")
 
     def verify_group(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
             return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
-        g = g.sort_values(id_col).head(max_bucket)
+        g = _bound_bucket(g.sort_values(id_col), max_bucket, drop_counter,
+                          "minhash_lsh")
         ids = g[id_col].to_numpy()
         sig = np.stack([np.asarray(s, dtype=np.uint64) for s in g["minhash"]])
         out_a, out_b, out_j = [], [], []
@@ -187,11 +269,7 @@ def minhash_lsh_duplicates(
         return pd.DataFrame({"id_a": out_a, "id_b": out_b, "jaccard": out_j})
 
     pairs = bands.groupby("band_key").map_groups(verify_group, batch_format="pandas")
-
-    # a pair can collide in several bands — keep one row per (id_a, id_b)
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    return _unique_pairs(pairs, "jaccard")
 
 
 # ---------------------------------------------------------------------------
@@ -270,6 +348,8 @@ def simhash_duplicates(
     text_col: str = "text",
     max_hamming: int = 3,
     concurrency: int | tuple[int, int] = (1, 4),
+    max_bucket: int = 5000,
+    drop_counter=None,
 ) -> rd.Dataset:
     """Near-dup pairs with hamming(simhash) ≤ max_hamming (≤ 3): bucket by
     each of the 4 16-bit chunks — any pair within distance 3 shares ≥1 chunk
@@ -299,14 +379,15 @@ def simhash_duplicates(
     def verify(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
             return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
-        g = g.sort_values(id_col)
+        g = _bound_bucket(g.sort_values(id_col), max_bucket, drop_counter,
+                          "simhash")
         ids = g[id_col].to_numpy()
         hs = g["simhash"].to_numpy().astype(np.uint64)
         out_a, out_b, out_d = [], [], []
         for i in range(len(ids) - 1):
             x = hs[i + 1:] ^ hs[i]
             d = np.array([bin(int(v)).count("1") for v in x])
-            hit = np.flatnonzero(d <= 3)
+            hit = np.flatnonzero(d <= max_hamming)
             for hh in hit:
                 if ids[i] != ids[i + 1 + hh]:
                     out_a.append(ids[i])
@@ -315,9 +396,7 @@ def simhash_duplicates(
         return pd.DataFrame({"id_a": out_a, "id_b": out_b, "hamming": out_d})
 
     pairs = buckets.groupby("bucket").map_groups(verify, batch_format="pandas")
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    return _unique_pairs(pairs, "hamming")
 
 
 def ngram_jaccard_duplicates(
@@ -330,87 +409,78 @@ def ngram_jaccard_duplicates(
     num_hashes: int = 64,
     num_bands: int = 16,
     max_bucket: int = 1000,
+    candidate_margin: float = 0.15,
+    concurrency: int | tuple[int, int] = (1, 4),
+    drop_counter=None,
 ) -> rd.Dataset:
     """Near-dup pairs verified by EXACT character-k-gram Jaccard.
 
-    MinHash-LSH proposes candidates (cheap, distributed); the exact Jaccard
-    runs only inside band groups, carrying the shingle sets as sorted hash
-    arrays (set ops on uint64 arrays, not text)."""
-    rows_per_band = num_hashes // num_bands
+    Two passes, so shingle arrays never enter a shuffle (round-1 carried the
+    full shingle set in every one of the 16 band rows — ~16× the corpus's
+    shingle volume through the exchange; this version ships signatures only):
 
-    def sig_and_shingles(batch: pa.Table) -> pa.Table:
-        a, b = _perm_params(num_hashes)
+    1. :func:`minhash_lsh_duplicates` proposes candidates whose
+       signature-estimated jaccard ≥ threshold − candidate_margin (the margin
+       absorbs minhash estimation noise, σ ≈ sqrt(j(1−j)/num_hashes) ≈ 0.05
+       at the defaults; band collision already bounds recall like any LSH).
+    2. A second, candidate-bounded pass re-shingles ONLY the candidate docs
+       (column-pruned map_batches over the corpus with a broadcast id set)
+       and verifies each pair's exact jaccard on the driver. The candidate
+       set is output-sized — if it ever outgrew driver memory, swap step 2
+       for a partitioned hash join on id; the shuffle-free fast path is
+       right whenever dup pairs ≪ corpus.
+    """
+    cand = minhash_lsh_duplicates(
+        ds, id_col, text_col, num_hashes=num_hashes, num_bands=num_bands,
+        shingle_k=shingle_k, threshold=max(0.0, threshold - candidate_margin),
+        max_bucket=max_bucket, concurrency=concurrency,
+        drop_counter=drop_counter)
+    pairs_df = cand.to_pandas()  # output-bounded, small by construction
+    empty = pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                          "id_b": pd.Series([], dtype=np.int64),
+                          "jaccard": pd.Series([], dtype=np.float64)})
+    if pairs_df.empty:
+        return rd.from_pandas(empty)
+    need_ref = ray.put(np.unique(np.concatenate(
+        [pairs_df["id_a"].to_numpy(), pairs_df["id_b"].to_numpy()])))
+
+    def shingles_for(batch: pa.Table) -> pa.Table:
+        need = ray.get(need_ref)
         ids = batch[id_col].to_numpy()
-        texts = ["" if t is None else t for t in batch[text_col].to_pylist()]
-        sh = [_tokenize_shingles(t, shingle_k) for t in texts]
-        sigs = np.stack([_minhash(s, a, b) for s in sh]) if texts else \
-            np.empty((0, num_hashes), np.uint64)
-        sh_lens = np.fromiter((len(x) for x in sh), np.int64, len(sh))
-        sh_off = np.zeros(len(sh) + 1, np.int64)
-        np.cumsum(sh_lens, out=sh_off[1:])
-        flat_sh = np.concatenate(sh) if len(sh) else np.empty(0, np.uint64)
-        sig_off = pa.array(
-            np.arange(0, (len(ids) + 1) * num_hashes, num_hashes,
-                      dtype=np.int64), pa.int64())
+        keep = np.isin(ids, need)
+        texts = batch[text_col].to_pylist()
+        sh = [_tokenize_shingles("" if texts[i] is None else texts[i],
+                                 shingle_k)
+              for i in np.flatnonzero(keep)]
+        lens = np.fromiter((len(s) for s in sh), np.int64, len(sh))
+        offs = np.zeros(len(sh) + 1, np.int64)
+        np.cumsum(lens, out=offs[1:])
+        flat = np.concatenate(sh) if sh else np.empty(0, np.uint64)
         return pa.table({
-            id_col: batch[id_col],
-            "minhash": pa.LargeListArray.from_arrays(
-                sig_off, pa.array(sigs.reshape(-1), pa.uint64())),
+            id_col: pa.array(ids[keep]),
             "shingles": pa.LargeListArray.from_arrays(
-                pa.array(sh_off, pa.int64()), pa.array(flat_sh, pa.uint64())),
+                pa.array(offs, pa.int64()), pa.array(flat, pa.uint64())),
         })
 
-    enriched = ds.map_batches(sig_and_shingles, batch_format="pyarrow")
-
-    def bands(batch: pa.Table) -> pa.Table:
-        base = _band_rows(batch, id_col=id_col, num_bands=num_bands,
-                          rows_per_band=rows_per_band)
-        sh_col = batch["shingles"].combine_chunks()
-        flat = sh_col.flatten().to_numpy().astype(np.uint64)
-        offs = np.zeros(len(batch) + 1, np.int64)
-        np.cumsum(pc.list_value_length(sh_col).to_numpy().astype(np.int64),
-                  out=offs[1:])
-        rep_off, rep_flat = [0], []
-        for i in range(len(batch)):
-            piece = flat[offs[i]: offs[i + 1]]
-            for _ in range(num_bands):
-                rep_flat.append(piece)
-        lens = np.repeat(np.diff(offs), num_bands)
-        out_off = np.zeros(len(lens) + 1, np.int64)
-        np.cumsum(lens, out=out_off[1:])
-        flat_out = np.concatenate(rep_flat) if rep_flat else np.empty(0, np.uint64)
-        return base.append_column(
-            "shingles",
-            pa.LargeListArray.from_arrays(pa.array(out_off, pa.int64()),
-                                          pa.array(flat_out, pa.uint64())))
-
-    banded = enriched.map_batches(bands, batch_format="pyarrow")
-
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
-        g = g.sort_values(id_col).head(max_bucket)
-        ids = g[id_col].to_numpy()
-        sets = [np.asarray(s, dtype=np.uint64) for s in g["shingles"]]
-        out_a, out_b, out_j = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if ids[i] == ids[j]:
-                    continue
-                inter = len(np.intersect1d(sets[i], sets[j],
-                                           assume_unique=True))
-                union = len(sets[i]) + len(sets[j]) - inter
-                jac = inter / union if union else 1.0
-                if jac >= threshold:
-                    out_a.append(ids[i])
-                    out_b.append(ids[j])
-                    out_j.append(jac)
-        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "jaccard": out_j})
-
-    pairs = banded.groupby("band_key").map_groups(verify, batch_format="pandas")
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    sh_tbl = ds.map_batches(shingles_for, batch_format="pyarrow").to_pandas()
+    shmap = {int(i): np.asarray(s, np.uint64)
+             for i, s in zip(sh_tbl[id_col], sh_tbl["shingles"])}
+    out_a, out_b, out_j = [], [], []
+    for ia, ib in zip(pairs_df["id_a"], pairs_df["id_b"]):
+        sa, sb = shmap.get(int(ia)), shmap.get(int(ib))
+        if sa is None or sb is None:
+            continue
+        inter = len(np.intersect1d(sa, sb, assume_unique=True))
+        union = len(sa) + len(sb) - inter
+        jac = inter / union if union else 1.0
+        if jac >= threshold:
+            out_a.append(ia)
+            out_b.append(ib)
+            out_j.append(jac)
+    if not out_a:
+        return rd.from_pandas(empty)
+    return rd.from_pandas(pd.DataFrame(
+        {"id_a": out_a, "id_b": out_b, "jaccard": out_j}))
 
 
 def embedding_near_duplicates(
@@ -422,6 +492,7 @@ def embedding_near_duplicates(
     nbits: int = 8,
     seed: int = 11,
     max_bucket: int = 2000,
+    drop_counter=None,
 ) -> rd.Dataset:
     """Embedding-cosine near-dup pairs: random-hyperplane LSH buckets the
     vectors (each vector also probes its 1-bit-neighbor buckets so
@@ -451,7 +522,8 @@ def embedding_near_duplicates(
     def verify(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
             return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
-        g = g.sort_values(id_col).head(max_bucket)
+        g = _bound_bucket(g.sort_values(id_col), max_bucket, drop_counter,
+                          "embedding_lsh")
         ids = g[id_col].to_numpy()
         home = g["is_home"].to_numpy()
         m = np.stack([np.asarray(v, np.float64) for v in g[vec_col]])
@@ -472,9 +544,7 @@ def embedding_near_duplicates(
         return pd.DataFrame({"id_a": out_a, "id_b": out_b, "cosine": out_c})
 
     pairs = bucketed.groupby("bucket").map_groups(verify, batch_format="pandas")
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    return _unique_pairs(pairs, "cosine")
 
 
 def ngram_jaccard(text_a: str, text_b: str, k: int = 5) -> float:

@@ -22,9 +22,30 @@ import ray.data as rd
 from ..functions.ids import term_buckets
 
 
+def _common_key_type(lt: pa.DataType, rt: pa.DataType) -> pa.DataType:
+    """Common type both sides' key columns are cast to BEFORE bucketing, so
+    numerically equal keys with different physical types (int64 1 vs float64
+    1.0) land in the same bucket AND merge equal — instead of hashing as
+    '1' vs '1.0' and silently never meeting."""
+    if lt.equals(rt):
+        return lt
+    num = (pa.types.is_integer, pa.types.is_floating)
+    if any(p(lt) for p in num) and any(p(rt) for p in num):
+        if pa.types.is_integer(lt) and pa.types.is_integer(rt):
+            return pa.int64()
+        return pa.float64()
+    if pa.types.is_timestamp(lt) and pa.types.is_timestamp(rt):
+        return pa.timestamp("us")
+    return pa.string()
+
+
 def _with_bucket(batch: pa.Table, keys: list[str], bucket_count: int,
-                 side: int) -> pa.Table:
+                 side: int, key_types: list[pa.DataType]) -> pa.Table:
     n = batch.num_rows
+    for k, t in zip(keys, key_types):
+        if not batch.schema.field(k).type.equals(t):
+            batch = batch.set_column(
+                batch.schema.get_field_index(k), k, batch[k].cast(t))
     if n == 0:
         return batch.append_column("__bucket", pa.array([], pa.int64())) \
                     .append_column("__side", pa.array([], pa.int8()))
@@ -55,12 +76,28 @@ def hash_join(
     assert how in ("inner", "left")
     lkeys = list(on.keys())
     rkeys = list(on.values())
+    def _arrow_types(schema) -> dict[str, pa.DataType]:
+        out = {}
+        for name, t in zip(schema.names, schema.types):
+            if not isinstance(t, pa.DataType):
+                try:
+                    t = pa.from_numpy_dtype(np.dtype(t))
+                except (pa.ArrowNotImplementedError, TypeError):
+                    t = pa.string()  # pandas object dtype — treat as string
+            out[name] = t
+        return out
+
+    ltypes, rtypes = _arrow_types(left.schema()), _arrow_types(right.schema())
+    key_types = [
+        _common_key_type(ltypes[lk], rtypes[rk])
+        for lk, rk in zip(lkeys, rkeys)
+    ]
 
     lb = left.map_batches(
-        lambda t: _with_bucket(t, lkeys, bucket_count, 0),
+        lambda t: _with_bucket(t, lkeys, bucket_count, 0, key_types),
         batch_format="pyarrow")
     rb = right.map_batches(
-        lambda t: _with_bucket(t, rkeys, bucket_count, 1),
+        lambda t: _with_bucket(t, rkeys, bucket_count, 1, key_types),
         batch_format="pyarrow")
 
     left_cols = [c for c in left.schema().names]

@@ -135,3 +135,47 @@ def test_embedding_near_duplicates():
     got = {(int(a), int(b)) for a, b in zip(pairs["id_a"], pairs["id_b"])}
     assert (0, 20) in got and (1, 21) in got
     assert all(c >= 0.98 for c in pairs["cosine"])
+
+
+def test_mulmod_m61_exact():
+    # the universal-hash multiply must be the REAL (a*x) mod p, not wrapped
+    from deces_dataprep_ray.stages.dedup import _M61, _mulmod_m61
+
+    rng = np.random.default_rng(3)
+    a = rng.integers(1, _M61, 40, dtype=np.int64).astype(np.uint64)
+    x = rng.integers(0, _M61, 40, dtype=np.int64).astype(np.uint64)
+    got = _mulmod_m61(a[:, None], x[None, :])
+    ref = np.array([[(int(ai) * int(xi)) % _M61 for xi in x] for ai in a],
+                   dtype=np.uint64)
+    assert (got == ref).all()
+
+
+def test_band_rows_carry_no_shingles():
+    # the LSH shuffle moves (band_key, id, signature) ONLY — never shingles
+    import pyarrow as pa
+
+    from deces_dataprep_ray.stages.dedup import band_rows_with_sig
+
+    sig_tbl = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "minhash": pa.array([list(range(64))] * 2, pa.large_list(pa.uint64())),
+        "shingles": pa.array([list(range(9))] * 2, pa.large_list(pa.uint64())),
+    })
+    out = band_rows_with_sig(sig_tbl, id_col="doc_id", num_bands=16,
+                             rows_per_band=4)
+    assert out.column_names == ["band_key", "doc_id", "minhash"]
+
+
+def test_max_bucket_drop_is_counted():
+    # an over-max_bucket bucket must report its drop count, never silently
+    import ray
+
+    from deces_dataprep_ray.stages.dedup import DropCounter, minhash_lsh_duplicates
+
+    dc = DropCounter.remote()
+    texts = ["same text repeated many times here ok " * 5] * 6
+    ds = rd.from_pandas(pd.DataFrame(
+        {"doc_id": np.arange(6, dtype=np.int64), "text": texts}))
+    _ = minhash_lsh_duplicates(ds, concurrency=1, max_bucket=2,
+                               drop_counter=dc).to_pandas()
+    assert ray.get(dc.total.remote()) > 0

@@ -1,5 +1,6 @@
 """Partitioned large x large hash join."""
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data as rd
@@ -56,3 +57,14 @@ def test_matches_duckdb_on_tpch(tmp_path):
           ON o.o_orderkey = l.l_orderkey""").df()
     assert len(out) == int(want["n"][0])
     assert abs(out["l_quantity"].sum() - float(want["s"][0])) < 1e-6
+
+
+def test_mixed_key_dtypes_join():
+    # int64 1 must meet float64 1.0 — keys are normalized before bucketing
+    l = rd.from_pandas(pd.DataFrame(
+        {"k": np.array([1, 2, 3], np.int64), "a": ["x", "y", "z"]}))
+    r = rd.from_pandas(pd.DataFrame(
+        {"k": np.array([1.0, 3.0], np.float64), "b": [10, 30]}))
+    out = hash_join(l, r, {"k": "k"}).to_pandas().sort_values("k")
+    assert len(out) == 2
+    assert list(out["b"]) == [10, 30]

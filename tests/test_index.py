@@ -241,3 +241,29 @@ def test_search_prefix_expansion(built_index, brute_force):
     assert search_prefix(r, "zzzz*", 10) == []
     # cap respected
     assert len(expand_prefix(r, "term", max_expansions=7)) == 7
+
+
+def test_search_prefix_hyphenated_stem(built_index, brute_force):
+    # 'term2-ca*' must expand the POSITIONALLY last subtoken ('ca'), keeping
+    # 'term2' exact — not analyze_query's lexicographically last
+    from deces_dataprep_ray.index.query import expand_prefix, search_prefix
+
+    idx, _ = built_index
+    inv, _ = brute_force
+    r = IndexReader(idx)
+    expanded = expand_prefix(r, "ca")
+    assert expanded == sorted(t for t in inv if t.startswith("ca"))
+    res = search_prefix(r, "term2-ca*", 10)
+    manual = search_exact(r, " ".join(sorted(set(expanded) | {"term2"})), 10)
+    assert res == manual
+
+
+def test_topk_massive_tie_break(built_index):
+    # thousands of docs tied at the k-th score: (score desc, doc_id asc)
+    # must hold exactly in the vectorized selection
+    from deces_dataprep_ray.index.query import _topk_from_scores
+
+    ids = np.arange(50_000, dtype=np.int64)[::-1].copy()
+    scores = np.ones(50_000)
+    got = _topk_from_scores(ids, scores, 5)
+    assert got == [(i, 1.0) for i in range(5)]
