@@ -57,6 +57,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": dq.q_bm25_topk,
         "bm25_and": dq.q_bm25_and,
         "bm25_prefix": dq.q_bm25_prefix,
+        # fielded index: per-field BM25 + keyword/range/date/geo filters
+        "bm25_fielded": dq.q_bm25_fielded,
+        "keyword_filter": dq.q_keyword_filter,
+        "range_filter": dq.q_range_filter,
+        "date_range": dq.q_date_range,
+        "geo_radius": dq.q_geo_radius,
         # training-data ops
         "exact_dedup": dq.q_exact_dedup,
         "fingerprint": dq.q_fingerprint,
@@ -252,6 +258,134 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY tf.doc_id)
             SELECT doc_id, round(score, 6) AS score FROM scores
             ORDER BY round(score, 6) DESC, doc_id LIMIT 10
+        """,
+        # Fielded BM25: per-field idf (field docCount) + per-field length
+        # norm (field avgdl). `source` always analyzes to one token, so its
+        # tf = dl = avgdl = 1 (shape-verified by the engine's field stats).
+        "bm25_fielded": f"""
+            WITH tok AS (
+                SELECT doc_id, unnest({tok}) AS term FROM documents
+            ),
+            tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+            dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+            stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+            qterms(term) AS (VALUES ('data'), ('spark'), ('window')),
+            df AS (SELECT tf.term, count(*)::DOUBLE AS df
+                   FROM tf JOIN qterms USING (term) GROUP BY tf.term),
+            tscore AS (
+                SELECT tf.doc_id,
+                       sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                            * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
+                       ) AS score
+                FROM tf JOIN df ON tf.term = df.term
+                        JOIN dl ON tf.doc_id = dl.doc_id
+                        CROSS JOIN stats s
+                GROUP BY tf.doc_id),
+            sn AS (SELECT count(*)::DOUBLE AS n FROM documents
+                   WHERE source IS NOT NULL AND source != ''),
+            sdf AS (SELECT count(*)::DOUBLE AS df FROM documents
+                    WHERE source = 'src3'),
+            sscore AS (
+                SELECT d.doc_id,
+                       ln(1 + (sn.n - sdf.df + 0.5) / (sdf.df + 0.5))
+                       * (1.0 / (1.0 + 1.2 * (1.0 - 0.75 + 0.75 * 1.0 / 1.0)))
+                       AS score
+                FROM documents d CROSS JOIN sn CROSS JOIN sdf
+                WHERE d.source = 'src3'),
+            combined AS (
+                SELECT COALESCE(t.doc_id, s2.doc_id) AS doc_id,
+                       COALESCE(t.score, 0) + COALESCE(s2.score, 0) AS score
+                FROM tscore t FULL OUTER JOIN sscore s2
+                     ON t.doc_id = s2.doc_id)
+            SELECT doc_id, round(score, 6) AS score FROM combined
+            ORDER BY round(score, 6) DESC, doc_id LIMIT 10
+        """,
+        "keyword_filter": f"""
+            WITH tok AS (
+                SELECT doc_id, unnest({tok}) AS term FROM documents
+            ),
+            tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+            dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+            stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+            qterms(term) AS (VALUES ('data'), ('spark'), ('window')),
+            df AS (SELECT tf.term, count(*)::DOUBLE AS df
+                   FROM tf JOIN qterms USING (term) GROUP BY tf.term),
+            scores AS (
+                SELECT tf.doc_id,
+                       sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                            * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
+                       ) AS score
+                FROM tf JOIN df ON tf.term = df.term
+                        JOIN dl ON tf.doc_id = dl.doc_id
+                        CROSS JOIN stats s
+                GROUP BY tf.doc_id)
+            SELECT sc.doc_id, round(sc.score, 6) AS score
+            FROM scores sc JOIN documents d ON sc.doc_id = d.doc_id
+            WHERE d.lang = 'en'
+            ORDER BY round(sc.score, 6) DESC, sc.doc_id LIMIT 10
+        """,
+        "range_filter": f"""
+            WITH tok AS (
+                SELECT doc_id, unnest({tok}) AS term FROM documents
+            ),
+            tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+            dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+            stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+            qterms(term) AS (VALUES ('data'), ('spark'), ('window')),
+            df AS (SELECT tf.term, count(*)::DOUBLE AS df
+                   FROM tf JOIN qterms USING (term) GROUP BY tf.term),
+            scores AS (
+                SELECT tf.doc_id,
+                       sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                            * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
+                       ) AS score
+                FROM tf JOIN df ON tf.term = df.term
+                        JOIN dl ON tf.doc_id = dl.doc_id
+                        CROSS JOIN stats s
+                GROUP BY tf.doc_id)
+            SELECT sc.doc_id, round(sc.score, 6) AS score
+            FROM scores sc JOIN documents d ON sc.doc_id = d.doc_id
+            WHERE d.n_chars BETWEEN 200 AND 400
+            ORDER BY round(sc.score, 6) DESC, sc.doc_id LIMIT 10
+        """,
+        "date_range": """
+            WITH tok AS (
+                SELECT event_id,
+                       unnest(regexp_extract_all(lower(props), '[a-z0-9]+')) AS term
+                FROM events
+            ),
+            tf AS (SELECT event_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+            dl AS (SELECT event_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+            stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+            qterms(term) AS (VALUES ('87')),
+            df AS (SELECT tf.term, count(*)::DOUBLE AS df
+                   FROM tf JOIN qterms USING (term) GROUP BY tf.term),
+            scores AS (
+                SELECT tf.event_id,
+                       sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                            * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
+                       ) AS score
+                FROM tf JOIN df ON tf.term = df.term
+                        JOIN dl ON tf.event_id = dl.event_id
+                        CROSS JOIN stats s
+                GROUP BY tf.event_id)
+            SELECT sc.event_id, round(sc.score, 6) AS score
+            FROM scores sc JOIN events e ON sc.event_id = e.event_id
+            WHERE e.ts BETWEEN TIMESTAMP '2024-01-10' AND TIMESTAMP '2024-01-20'
+            ORDER BY round(sc.score, 6) DESC, sc.event_id LIMIT 10
+        """,
+        "geo_radius": """
+            WITH pts AS (
+                SELECT event_id,
+                       ((event_id * 9973) % 18000) / 100.0 - 90.0  AS lat,
+                       ((event_id * 7919) % 36000) / 100.0 - 180.0 AS lon
+                FROM events)
+            SELECT event_id, lat, lon FROM pts
+            WHERE 2.0 * 6371.0 * asin(sqrt(
+                      pow(sin(radians(lat - 45.0) / 2.0), 2)
+                      + cos(radians(45.0)) * cos(radians(lat))
+                        * pow(sin(radians(lon - 5.0) / 2.0), 2))) <= 2000.0
+            ORDER BY event_id
         """,
         "exact_dedup": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_copies

@@ -71,20 +71,41 @@ ANALYZER_VERSION = "norm-v2"  # bump when analysis.py changes semantics
 # ---------------------------------------------------------------------------
 
 class AnalyzeDocs:
-    """Actor-pool stage: pages → (doc_id, url, dl, terms, tfs).
+    """Actor-pool stage: pages → (doc_id, url, dl, terms, tfs[, tdls, dl__f…]).
 
     Stateful setup (fold tables / compiled regexes import-time in analysis.py)
     is amortized per actor; __call__ is one vectorized pass per batch.
+
+    Fielded mode (``fields`` / ``keyword_fields`` given — the reference's
+    per-field ES mapping, `datasets/deces_index.yml:42-157`): each analyzed
+    field's tokens are indexed as ``field:token`` terms; each keyword field's
+    whole normalized value as one ``field:value`` term (the ``raw`` sub-field
+    pattern, `deces_index.yml:55-61`). The checkpoint then also carries
+    ``tdls`` (per-posting FIELD length — BM25's length norm is per field) and
+    one ``dl__<field>`` uint32 column per field (feeds the per-field
+    n_docs/avgdl stats pass). ``passthrough`` columns are copied unchanged
+    into the checkpoint for the docvalues store (typed range/geo filters).
     """
 
-    def __init__(self, url_col: str = "url", text_col: str = "text"):
+    def __init__(self, url_col: str = "url", text_col: str = "text",
+                 fields: dict[str, str] | None = None,
+                 keyword_fields: dict[str, str] | None = None,
+                 passthrough: tuple[tuple[str, str], ...] = ()):
         from ..functions.analysis import TokenFolder
 
         self.url_col = url_col
         self.text_col = text_col
+        self.fields = dict(fields) if fields else None
+        self.keyword_fields = dict(keyword_fields or {})
+        self.passthrough = tuple(passthrough)
         self.folder = TokenFolder()  # per-actor fold memo, amortized
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.fields is None and not self.keyword_fields:
+            return self._call_single(batch)
+        return self._call_fielded(batch)
+
+    def _call_single(self, batch: pa.Table) -> pa.Table:
         urls = batch[self.url_col].to_pylist()
         texts = batch[self.text_col].to_pylist()
         texts = ["" if t is None else t for t in texts]
@@ -106,6 +127,86 @@ class AnalyzeDocs:
             }
         )
 
+    def _call_fielded(self, batch: pa.Table) -> pa.Table:
+        from ..functions.analysis import normalize_keyword
+
+        urls = batch[self.url_col].to_pylist()
+        n = len(urls)
+        doc_ids = doc_ids_from_urls(urls)
+        empty_str = pa.array([], pa.large_string())
+
+        doc_idx_parts: list[np.ndarray] = []
+        term_parts: list[pa.Array] = []
+        tf_parts: list[np.ndarray] = []
+        tdl_parts: list[np.ndarray] = []
+        dl_cols: dict[str, np.ndarray] = {}
+        total_dl = np.zeros(n, np.int64)
+
+        for f in sorted(self.fields or {}):
+            texts = batch[self.fields[f]].to_pylist()
+            texts = ["" if t is None else str(t) for t in texts]
+            ft, ftf, off, dl = analyze_batch(texts, self.folder)
+            lens = np.diff(off)
+            di = np.repeat(np.arange(n, dtype=np.int64), lens)
+            doc_idx_parts.append(di)
+            # vectorized "field:" prefix on the flat term array
+            arr = pa.array(ft, pa.large_string()) if len(ft) else empty_str
+            term_parts.append(pc.binary_join_element_wise(
+                pa.scalar(f + ":", pa.large_string()), arr,
+                pa.scalar("", pa.large_string())))
+            tf_parts.append(ftf.astype(np.uint32))
+            dl32 = dl.astype(np.uint32)
+            tdl_parts.append(dl32[di])
+            dl_cols[f] = dl32
+            total_dl += dl
+
+        for f in sorted(self.keyword_fields):
+            vals = batch[self.keyword_fields[f]].to_pylist()
+            norms = ["" if v is None else normalize_keyword(str(v))
+                     for v in vals]
+            di = np.flatnonzero(np.fromiter((len(s) > 0 for s in norms),
+                                            bool, n)).astype(np.int64)
+            doc_idx_parts.append(di)
+            term_parts.append(pa.array([f + ":" + norms[i] for i in di],
+                                       pa.large_string()))
+            tf_parts.append(np.ones(len(di), np.uint32))
+            tdl_parts.append(np.ones(len(di), np.uint32))
+            has = np.zeros(n, np.uint32)
+            has[di] = 1
+            dl_cols[f] = has
+
+        doc_idx = (np.concatenate(doc_idx_parts) if doc_idx_parts
+                   else np.empty(0, np.int64))
+        order = np.argsort(doc_idx, kind="stable")
+        terms_flat = (pa.concat_arrays(
+            [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+             for a in term_parts]).take(pa.array(order, pa.int64()))
+            if term_parts else empty_str)
+        tfs_flat = (np.concatenate(tf_parts)[order] if tf_parts
+                    else np.empty(0, np.uint32))
+        tdls_flat = (np.concatenate(tdl_parts)[order] if tdl_parts
+                     else np.empty(0, np.uint32))
+        offsets = np.searchsorted(doc_idx[order],
+                                  np.arange(n + 1, dtype=np.int64)
+                                  ).astype(np.int64)
+        off_arr = pa.array(offsets, pa.int64())
+        cols: dict[str, Any] = {
+            "doc_id": pa.array(doc_ids, pa.uint64()),
+            "url": pa.array(urls, pa.string()),
+            "dl": pa.array(np.minimum(total_dl, 2**32 - 1).astype(np.uint32),
+                           pa.uint32()),
+            "terms": pa.LargeListArray.from_arrays(off_arr, terms_flat),
+            "tfs": pa.LargeListArray.from_arrays(
+                off_arr, pa.array(tfs_flat, pa.uint32())),
+            "tdls": pa.LargeListArray.from_arrays(
+                off_arr, pa.array(tdls_flat, pa.uint32())),
+        }
+        for f, dlc in sorted(dl_cols.items()):
+            cols["dl__" + f] = pa.array(dlc, pa.uint32())
+        for out_name, src_col in self.passthrough:
+            cols[out_name] = batch[src_col]
+        return pa.table(cols)
+
 
 # Task-pool variants: Ray reuses warm worker processes across tasks and
 # phases, so per-process module state replaces actor state with zero pool
@@ -114,11 +215,18 @@ class AnalyzeDocs:
 _ANALYZER_SINGLETON: dict[tuple, AnalyzeDocs] = {}
 
 
-def _analyze_docs_fn(batch: pa.Table, url_col: str, text_col: str) -> pa.Table:
-    key = (url_col, text_col)
+def _analyze_docs_fn(batch: pa.Table, url_col: str, text_col: str,
+                     fields: tuple | None = None,
+                     keyword_fields: tuple = (),
+                     passthrough: tuple = ()) -> pa.Table:
+    key = (url_col, text_col, fields, keyword_fields, passthrough)
     inst = _ANALYZER_SINGLETON.get(key)
     if inst is None:
-        inst = _ANALYZER_SINGLETON.setdefault(key, AnalyzeDocs(url_col, text_col))
+        inst = _ANALYZER_SINGLETON.setdefault(key, AnalyzeDocs(
+            url_col, text_col,
+            fields=dict(fields) if fields is not None else None,
+            keyword_fields=dict(keyword_fields),
+            passthrough=passthrough))
     return inst(batch)
 
 
@@ -218,7 +326,12 @@ class EmitPartials:
         flat_tfs = tfs_col.flatten().to_numpy(zero_copy_only=False).astype(np.uint32)
         lens = pc.list_value_length(terms_col).to_numpy().astype(np.int64)
         doc_rep = np.repeat(tbl["doc_id"].to_numpy(), lens).astype(np.uint64)
-        dl_rep = np.repeat(tbl["dl"].to_numpy(), lens).astype(np.uint32)
+        if "tdls" in tbl.column_names:
+            # fielded mode: the per-posting length norm is the FIELD's dl
+            dl_rep = (tbl["tdls"].combine_chunks().flatten()
+                      .to_numpy(zero_copy_only=False).astype(np.uint32))
+        else:
+            dl_rep = np.repeat(tbl["dl"].to_numpy(), lens).astype(np.uint32)
         if len(flat_terms) == 0:
             return _empty_partials()
 
@@ -348,6 +461,7 @@ def build_bucket(
     k1: float,
     b: float,
     block_size: int,
+    avgdl_map: dict[str, float] | None = None,
 ) -> pa.Table:
     """Reduce one bucket: merge per-batch partials per (term, seg), sort by
     doc_id, block-encode, write ``bucket=NNNNN/part.parquet`` atomically with
@@ -371,7 +485,10 @@ def build_bucket(
     docs_s = flat_docs[order]
     tfs_s = flat_tfs[order]
     dls_s = flat_dls[order]
-    weights_s = bm25_weight(tfs_s, dls_s, avgdl, k1, b)
+    # fielded mode defers the weight to the per-group loop where the term's
+    # FIELD avgdl is known; single-field precomputes once over the bucket
+    weights_s = (bm25_weight(tfs_s, dls_s, avgdl, k1, b)
+                 if avgdl_map is None else None)
 
     change = np.empty(len(key_s), dtype=bool)
     if len(key_s):
@@ -397,11 +514,15 @@ def build_bucket(
             d = d[keep]
             t = tfs_s[lo:hi][keep]
             l = dls_s[lo:hi][keep]
-            w = weights_s[lo:hi][keep]
         else:
+            keep = None
             t = tfs_s[lo:hi]
             l = dls_s[lo:hi]
-            w = weights_s[lo:hi]
+        if weights_s is not None:
+            w = weights_s[lo:hi] if keep is None else weights_s[lo:hi][keep]
+        else:
+            f_avgdl = avgdl_map.get(str(term).split(":", 1)[0], avgdl)
+            w = bm25_weight(t, l, f_avgdl or 1.0, k1, b)
         enc = encode_postings_blocks(d, t, l, w, block_size=block_size)
         rows["term"].append(term)
         rows["seg"].append(seg)
@@ -489,6 +610,9 @@ def build_index(
     *,
     url_col: str = "url",
     text_col: str = "text",
+    fields: dict[str, str] | None = None,
+    keyword_fields: dict[str, str] | None = None,
+    docvalue_fields: dict[str, str] | None = None,
     num_buckets: int = 32,
     block_size: int = 128,
     salt_shards: int = 8,
@@ -500,7 +624,14 @@ def build_index(
     input_tag: str | None = None,
     resume: bool = True,
 ) -> Manifest:
-    """Build (or resume) an inverted index at ``index_dir``. See module doc."""
+    """Build (or resume) an inverted index at ``index_dir``. See module doc.
+
+    ``fields`` / ``keyword_fields`` (field → source column) switch on fielded
+    indexing (per-field ``field:term`` postings with per-field length norms —
+    the reference's per-field mapping + ``raw`` keyword sub-fields).
+    ``docvalue_fields`` (name → source column) are typed columns stored in
+    the doc_id-sorted docvalues store for range/geo filters and url
+    resolution."""
     assert salt_shards & (salt_shards - 1) == 0, "salt_shards must be a power of 2"
     if isinstance(source, str):
         paths = [source]
@@ -509,11 +640,15 @@ def build_index(
     else:
         paths = None
 
+    fielded = fields is not None or bool(keyword_fields)
     tag = input_tag or (_input_tag(paths) if paths else "dataset")
     cfg = {
         "analyzer": ANALYZER_VERSION,
         "url_col": url_col,
         "text_col": text_col,
+        "fields": sorted((fields or {}).items()) if fielded else None,
+        "keyword_fields": sorted((keyword_fields or {}).items()),
+        "docvalue_fields": sorted((docvalue_fields or {}).items()),
         "num_buckets": num_buckets,
         "block_size": block_size,
         "salt_shards": salt_shards,
@@ -550,15 +685,29 @@ def build_index(
         return sec
 
     # --- Phase A: analyze + checkpoint -----------------------------------
+    passthrough = tuple(sorted((docvalue_fields or {}).items()))
     if not man.phase_done("analyzed"):
         if paths is not None:
-            ds = rd.read_parquet(paths, columns=[url_col, text_col],
+            read_cols = {url_col}
+            if fielded:
+                read_cols |= set((fields or {}).values())
+                read_cols |= set((keyword_fields or {}).values())
+            else:
+                read_cols.add(text_col)
+            read_cols |= {c for _, c in passthrough}
+            ds = rd.read_parquet(paths, columns=sorted(read_cols),
                                  override_num_blocks=nblocks)
         else:
             ds = source
         analyzed = ds.map_batches(
             _analyze_docs_fn,
-            fn_kwargs={"url_col": url_col, "text_col": text_col},
+            fn_kwargs={
+                "url_col": url_col, "text_col": text_col,
+                "fields": (tuple(sorted((fields or {}).items()))
+                           if fielded else None),
+                "keyword_fields": tuple(sorted((keyword_fields or {}).items())),
+                "passthrough": passthrough,
+            },
             batch_format="pyarrow",
             batch_size=batch_size,
         )
@@ -584,6 +733,11 @@ def build_index(
             man.mark_done("head_terms", seconds=_took(), min_df=0, terms=[], dfs={})
         if not man.phase_done("postings"):
             man.mark_done("postings", seconds=_took(), buckets={}, n_postings=0, bytes=0)
+        if fielded and not man.phase_done("fieldstats"):
+            man.mark_done("fieldstats", seconds=_took(), fields={})
+        if not man.phase_done("docvalues"):
+            os.makedirs(os.path.join(index_dir, "docvalues"), exist_ok=True)
+            man.mark_done("docvalues", seconds=_took(), dir="docvalues", rows=0)
         return man
 
     # --- Phase B: term dictionary (df/cf pre-pass) ------------------------
@@ -634,6 +788,38 @@ def build_index(
     stats = man.phase("stats")
     avgdl = float(stats["avgdl"]) or 1.0
 
+    # --- Phase C2 (fielded only): per-field n_docs / avgdl ---------------
+    # BM25's length norm and idf are PER FIELD (Lucene per-field norms /
+    # docCount); n_f counts docs with a non-empty field, avgdl_f = Σdl_f/n_f.
+    avgdl_map: dict[str, float] | None = None
+    if fielded:
+        if not man.phase_done("fieldstats"):
+            all_fields = sorted(set(fields or {}) | set(keyword_fields or {}))
+            dl_names = ["dl__" + f for f in all_fields]
+
+            def _field_partial(t: pa.Table) -> pa.Table:
+                row: dict[str, list] = {}
+                for name in dl_names:
+                    v = t[name].to_numpy()
+                    row["sum_" + name] = [int(v.sum())]
+                    row["cnt_" + name] = [int((v > 0).sum())]
+                return pa.table(row)
+
+            pdf = (rd.read_parquet(analyzed_dir, columns=dl_names,
+                                   override_num_blocks=nblocks)
+                   .map_batches(_field_partial, batch_format="pyarrow",
+                                batch_size=batch_size * 4)
+                   .to_pandas())  # one tiny row per batch
+            fstats = {}
+            for f in all_fields:
+                s = int(pdf["sum_dl__" + f].sum())
+                c = int(pdf["cnt_dl__" + f].sum())
+                fstats[f] = {"n_docs": c, "sum_dl": s,
+                             "avgdl": (s / c) if c else 0.0}
+            man.mark_done("fieldstats", seconds=_took(), fields=fstats)
+        avgdl_map = {f: (float(v["avgdl"]) or 1.0)
+                     for f, v in man.phase("fieldstats")["fields"].items()}
+
     if not man.phase_done("head_terms"):
         min_df = head_min_df
         if min_df is None:
@@ -666,8 +852,9 @@ def build_index(
     if not man.phase_done("postings"):
         done = done_buckets(index_dir, num_buckets, man.hash) if resume else {}
         head_ref = ray.put(heads)
+        emit_cols = ["doc_id", "dl", "terms", "tfs"] + (["tdls"] if fielded else [])
         emit = rd.read_parquet(
-            analyzed_dir, columns=["doc_id", "dl", "terms", "tfs"],
+            analyzed_dir, columns=emit_cols,
             override_num_blocks=nblocks,
         ).map_batches(
             _emit_partials_fn,
@@ -688,6 +875,7 @@ def build_index(
             k1=k1,
             b=b,
             block_size=block_size,
+            avgdl_map=avgdl_map,
         )
         manifest_rows = (
             # pin the reduce partition count to the bucket count: the sort
@@ -716,6 +904,30 @@ def build_index(
             n_postings=int(sum(v["n_postings"] for v in buckets.values())),
             bytes=int(sum(v["bytes"] for v in buckets.values())),
         )
+
+    # --- Phase E: docvalues store (doc_id-sorted url/dl + typed columns) --
+    # Replaces per-query scans of the analyzed checkpoint: url resolution is
+    # a row-group binary search, range/geo filters a column-pruned scan —
+    # the ES doc_values analogue. Sorted output = range-partitioned files,
+    # so per-file/row-group doc_id stats prune lookups at 10^12 docs.
+    if not man.phase_done("docvalues"):
+        dv_dir = os.path.join(index_dir, "docvalues")
+        dv_cols = ["doc_id", "url", "dl"] + [n for n, _ in passthrough]
+        dv = (rd.read_parquet(analyzed_dir, columns=dv_cols,
+                              override_num_blocks=nblocks)
+              .sort("doc_id"))
+        tmp_dir = dv_dir + ".tmp"
+        for d in (tmp_dir, dv_dir):
+            if os.path.exists(d):
+                shutil.rmtree(d)
+        dv.write_parquet(tmp_dir, row_group_size=8192)
+        os.makedirs(tmp_dir, exist_ok=True)
+        os.replace(tmp_dir, dv_dir)
+        n_rows = sum(
+            pq.read_metadata(os.path.join(dv_dir, f)).num_rows
+            for f in os.listdir(dv_dir) if f.endswith(".parquet"))
+        man.mark_done("docvalues", seconds=_took(), dir="docvalues",
+                      rows=int(n_rows))
     return man
 
 

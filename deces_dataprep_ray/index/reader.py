@@ -47,6 +47,11 @@ class IndexReader:
         self.avgdl = float(stats.get("avgdl", 0.0)) or 1.0
         self.head_terms = set(man.phase("head_terms").get("terms", []))
         self.head_compacted = man.phase_done("head_compact")
+        # per-field BM25 stats (fielded indexes only): field → n_docs/avgdl
+        self.field_stats: dict[str, dict] = dict(
+            man.phase("fieldstats").get("fields", {})
+        ) if man.phase_done("fieldstats") else {}
+        self._docstore = None
         self._head_path = os.path.join(index_dir, "head", "part.parquet")
         self._term_rows = lru_cache(maxsize=4096)(self._term_rows_uncached)
         self._postings_cache: dict[str, tuple] = {}
@@ -167,15 +172,28 @@ class IndexReader:
 
     # -- docstore ---------------------------------------------------------
 
+    @property
+    def docstore(self):
+        """The doc_id-sorted docvalues store (built by build_index phase E)."""
+        if self._docstore is None:
+            from .docstore import DocStore
+
+            self._docstore = DocStore(os.path.join(self.index_dir, "docvalues"))
+        return self._docstore
+
     def resolve_urls(self, doc_ids: list[int]) -> dict[int, str]:
-        """doc_id → url via a filtered scan of the analyzed checkpoint
-        (column-pruned; row-group statistics prune most files)."""
-        dset = pa_ds.dataset(os.path.join(self.index_dir, "analyzed"))
-        want = pc.field("doc_id").isin([np.uint64(d) for d in doc_ids])
-        tbl = dset.to_table(columns=["doc_id", "url"], filter=want)
-        return dict(
-            zip(tbl["doc_id"].to_numpy().tolist(), tbl["url"].to_pylist())
-        )
+        """doc_id → url via row-group binary search in the docvalues store
+        (falls back to a filtered scan of the analyzed checkpoint for
+        pre-docvalues indexes)."""
+        try:
+            return self.docstore.resolve_urls(doc_ids)
+        except FileNotFoundError:
+            dset = pa_ds.dataset(os.path.join(self.index_dir, "analyzed"))
+            want = pc.field("doc_id").isin([np.uint64(d) for d in doc_ids])
+            tbl = dset.to_table(columns=["doc_id", "url"], filter=want)
+            return dict(
+                zip(tbl["doc_id"].to_numpy().tolist(), tbl["url"].to_pylist())
+            )
 
     def vocabulary_size(self) -> int:
         return int(self.manifest.phase("termstats").get("n_terms", 0))

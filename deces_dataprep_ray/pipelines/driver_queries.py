@@ -514,6 +514,147 @@ def q_bm25_prefix(sf_dir: str) -> pd.DataFrame:
     return _rounded_topk(res, reader)
 
 
+# --- fielded index: per-field BM25 + keyword / range / date / geo ----------
+
+def _fielded_index_for(sf_dir: str) -> str:
+    """Fielded index over ``documents``: analyzed fields text+source, keyword
+    field lang, docvalue n_chars (the reference's per-field mapping shape)."""
+    from ..index.build import build_index
+
+    doc_path = os.path.join(sf_dir, "documents.parquet")
+    tag = hashlib.sha256(
+        f"fielded:{doc_path}:{os.path.getsize(doc_path)}".encode()
+    ).hexdigest()[:12]
+    index_dir = os.path.join("/tmp", "dcray_index_cache", "fld_" + tag)
+
+    def add_url(t: pa.Table) -> pa.Table:
+        urls = [f"doc://{d}" for d in t["doc_id"].to_pylist()]
+        return t.append_column("url", pa.array(urls, pa.string()))
+
+    ds = rd.read_parquet(doc_path,
+                         columns=["doc_id", "text", "source", "lang",
+                                  "n_chars"]).map_batches(
+        add_url, batch_format="pyarrow")
+    build_index(ds, index_dir,
+                fields={"text": "text", "source": "source"},
+                keyword_fields={"lang": "lang"},
+                docvalue_fields={"n_chars": "n_chars"},
+                num_buckets=8, salt_shards=4, head_min_df=64,
+                input_tag=tag, batch_size=1024)
+    return index_dir
+
+
+def _events_index_for(sf_dir: str) -> str:
+    """Fielded index over ``events``: analyzed props, ts docvalue (the
+    reference's date-typed field + match query shape,
+    `datasets/deces_index.yml:86-88,125-127`)."""
+    from ..index.build import build_index
+
+    path = os.path.join(sf_dir, "events.parquet")
+    tag = hashlib.sha256(
+        f"events:{path}:{os.path.getsize(path)}".encode()).hexdigest()[:12]
+    index_dir = os.path.join("/tmp", "dcray_index_cache", "evt_" + tag)
+
+    def add_url(t: pa.Table) -> pa.Table:
+        urls = [f"doc://{d}" for d in t["event_id"].to_pylist()]
+        return t.append_column("url", pa.array(urls, pa.string()))
+
+    ds = rd.read_parquet(path, columns=["event_id", "props", "ts"]).map_batches(
+        add_url, batch_format="pyarrow")
+    build_index(ds, index_dir,
+                fields={"props": "props"},
+                docvalue_fields={"ts": "ts"},
+                num_buckets=8, salt_shards=4, head_min_df=64,
+                input_tag=tag, batch_size=1024)
+    return index_dir
+
+
+def _fielded_topk(reader, res, k=10, id_col="doc_id"):
+    urls = reader.resolve_urls([d for d, _ in res])
+    df = pd.DataFrame({
+        "orig_id": [int(urls[d].removeprefix("doc://")) for d, _ in res],
+        "score": round_away([s for _, s in res], 6),
+    })
+    df = df.sort_values(["score", "orig_id"], ascending=[False, True]).head(k)
+    return pd.DataFrame({id_col: df["orig_id"].to_numpy(),
+                         "score": df["score"].to_numpy()})
+
+
+def q_bm25_fielded(sf_dir: str) -> pd.DataFrame:
+    """Multi-field bool query: match(text) + match(source) summed, each with
+    per-field idf (field docCount) and length norm (field avgdl)."""
+    from ..index.fielded import search_fields
+    from ..index.reader import IndexReader
+
+    reader = IndexReader(_fielded_index_for(sf_dir))
+    res = search_fields(reader, [("text", "data spark window"),
+                                 ("source", "src3")], k=200)
+    return _fielded_topk(reader, res)
+
+
+def q_keyword_filter(sf_dir: str) -> pd.DataFrame:
+    """BM25 match + keyword raw sub-field filter (lang = 'en') — the
+    reference's dominant query shape (analyzed match + exact filter)."""
+    from ..index.fielded import KeywordFilter, search_fields
+    from ..index.reader import IndexReader
+
+    reader = IndexReader(_fielded_index_for(sf_dir))
+    res = search_fields(reader, [("text", "data spark window")], k=200,
+                        filters=[KeywordFilter("lang", "en")])
+    return _fielded_topk(reader, res)
+
+
+def q_range_filter(sf_dir: str) -> pd.DataFrame:
+    """BM25 match + numeric range filter over a docvalues column
+    (AGE_DECES-shaped ``short`` field, `deces_index.yml:128-129`)."""
+    from ..index.fielded import RangeFilter, search_fields
+    from ..index.reader import IndexReader
+
+    reader = IndexReader(_fielded_index_for(sf_dir))
+    res = search_fields(reader, [("text", "data spark window")], k=200,
+                        filters=[RangeFilter("n_chars", 200, 400)])
+    return _fielded_topk(reader, res)
+
+
+def q_date_range(sf_dir: str) -> pd.DataFrame:
+    """BM25 match + date range filter over a timestamp docvalues column
+    (DATE_*_NORM-shaped ``date`` fields, `deces_index.yml:86-88`)."""
+    from ..index.fielded import RangeFilter, search_fields
+    from ..index.reader import IndexReader
+
+    reader = IndexReader(_events_index_for(sf_dir))
+    res = search_fields(
+        reader, [("props", "87")], k=400,
+        filters=[RangeFilter("ts", pd.Timestamp("2024-01-10"),
+                             pd.Timestamp("2024-01-20"))])
+    return _fielded_topk(reader, res, k=10, id_col="event_id")
+
+
+def q_geo_radius(sf_dir: str) -> pd.DataFrame:
+    """Geo radius filter stage (geo_point distance query,
+    `deces_index.yml:115-116`): deterministic synthetic lat/lon derived from
+    event_id, haversine <= 2000 km of (45, 5)."""
+    from ..stages.geo import geo_radius_filter
+
+    ds = _read(sf_dir, "events", ["event_id"])
+
+    def pts(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy()
+        lat = ((eid * 9973) % 18000) / 100.0 - 90.0
+        lon = ((eid * 7919) % 36000) / 100.0 - 180.0
+        return pa.table({"event_id": t["event_id"],
+                         "lat": pa.array(lat, pa.float64()),
+                         "lon": pa.array(lon, pa.float64())})
+
+    ds = ds.map_batches(pts, batch_format="pyarrow")
+    out = geo_radius_filter(ds, "lat", "lon", 45.0, 5.0, 2000.0).to_pandas()
+    if out.empty:
+        out = pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
+                            "lat": pd.Series([], dtype="float64"),
+                            "lon": pd.Series([], dtype="float64")})
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 # --- rows-only (non-SQL-expressible) ---------------------------------------
 
 def q_minhash_pairs(sf_dir: str) -> pd.DataFrame:

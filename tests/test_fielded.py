@@ -1,0 +1,173 @@
+"""Fielded index: per-field BM25, keyword/range/geo filters, docstore.
+
+Oracle: an independent pure-Python per-field BM25 with per-field docCount
+idf and per-field avgdl length norms (the frozen semantics mirrored by the
+driver SQL oracles)."""
+
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from deces_dataprep_ray.functions.geo import haversine_km
+from deces_dataprep_ray.functions.ids import doc_id_from_url
+from deces_dataprep_ray.index.build import build_index
+from deces_dataprep_ray.index.fielded import (
+    GeoRadiusFilter,
+    KeywordFilter,
+    RangeFilter,
+    search_fields,
+)
+from deces_dataprep_ray.index.query import idf
+from deces_dataprep_ray.index.reader import IndexReader
+
+
+@pytest.fixture(scope="module")
+def fielded_corpus(tmp_path_factory):
+    d = tmp_path_factory.mktemp("fielded")
+    rng = np.random.default_rng(5)
+    vocab = ["data", "spark", "window", "row", "join", "scan", "merge",
+             "café", "groupe"]
+    n = 60
+    df = pd.DataFrame({
+        "url": [f"doc://{i}" for i in range(n)],
+        "body": [" ".join(rng.choice(vocab, rng.integers(3, 12)))
+                 for _ in range(n)],
+        "title": [" ".join(rng.choice(vocab, 2)) if i % 5 else ""
+                  for i in range(n)],
+        "lang": [["en", "fr", "de"][i % 3] for i in range(n)],
+        "nch": (np.arange(n) * 7) % 100,
+        "lat": np.linspace(-60, 60, n),
+        "lon": np.linspace(-120, 120, n),
+    })
+    src = str(d / "src.parquet")
+    df.to_parquet(src)
+    return df, src
+
+
+@pytest.fixture(scope="module")
+def fielded_index(fielded_corpus, tmp_path_factory):
+    df, src = fielded_corpus
+    idx = str(tmp_path_factory.mktemp("fidx") / "index")
+    build_index(src, idx,
+                fields={"body": "body", "title": "title"},
+                keyword_fields={"lang": "lang"},
+                docvalue_fields={"nch": "nch", "lat": "lat", "lon": "lon"},
+                num_buckets=4, salt_shards=2, head_min_df=1000,
+                batch_size=16)
+    return idx
+
+
+def _brute(df, matches, k=10, keep=None):
+    from deces_dataprep_ray.functions.analysis import tokenize
+
+    cols = {"body": "body", "title": "title"}
+    toks = {f: [tokenize(str(t)) for t in df[c]] for f, c in cols.items()}
+    dls = {f: [len(t) for t in toks[f]] for f in toks}
+    nf = {f: sum(1 for d in dls[f] if d > 0) for f in toks}
+    avg = {f: (sum(dls[f]) / nf[f]) if nf[f] else 1.0 for f in toks}
+    dids = [doc_id_from_url(u) for u in df["url"]]
+    scores: dict[int, float] = {}
+    for field, q in sorted(matches):
+        for tok in sorted(set(tokenize(q))):
+            pl = [(i, toks[field][i].count(tok)) for i in range(len(df))
+                  if tok in toks[field][i]]
+            if not pl:
+                continue
+            widf = idf(nf[field], len(pl))
+            for i, tf in pl:
+                w = tf / (tf + 1.2 * (1 - 0.75 + 0.75 * dls[field][i] / avg[field]))
+                scores[dids[i]] = scores.get(dids[i], 0.0) + widf * w
+    if keep is not None:
+        lookup = {dids[i]: i for i in range(len(df))}
+        scores = {d: s for d, s in scores.items() if keep(lookup[d])}
+    return sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+
+def _cmp(got, want):
+    assert [(d, round(s, 9)) for d, s in got] == \
+           [(d, round(s, 9)) for d, s in want]
+
+
+def test_multi_field_match(fielded_corpus, fielded_index):
+    df, _ = fielded_corpus
+    r = IndexReader(fielded_index)
+    got = search_fields(r, [("body", "data spark"), ("title", "window")], k=10)
+    _cmp(got, _brute(df, [("body", "data spark"), ("title", "window")]))
+
+
+def test_per_field_stats_differ(fielded_corpus, fielded_index):
+    # title is empty for every 5th doc: its docCount and avgdl differ from
+    # body's — per-field stats must be independent
+    r = IndexReader(fielded_index)
+    assert r.field_stats["title"]["n_docs"] < r.field_stats["body"]["n_docs"]
+    assert r.field_stats["lang"]["avgdl"] == 1.0
+
+
+def test_keyword_filter(fielded_corpus, fielded_index):
+    df, _ = fielded_corpus
+    r = IndexReader(fielded_index)
+    got = search_fields(r, [("body", "data spark")], k=10,
+                        filters=[KeywordFilter("lang", "fr")])
+    _cmp(got, _brute(df, [("body", "data spark")],
+                     keep=lambda i: df["lang"][i] == "fr"))
+
+
+def test_range_filter(fielded_corpus, fielded_index):
+    df, _ = fielded_corpus
+    r = IndexReader(fielded_index)
+    got = search_fields(r, [("body", "data spark")], k=10,
+                        filters=[RangeFilter("nch", 20, 60)])
+    _cmp(got, _brute(df, [("body", "data spark")],
+                     keep=lambda i: 20 <= df["nch"][i] <= 60))
+
+
+def test_combined_filters(fielded_corpus, fielded_index):
+    df, _ = fielded_corpus
+    r = IndexReader(fielded_index)
+    got = search_fields(r, [("body", "data spark")], k=10,
+                        filters=[RangeFilter("nch", hi=80),
+                                 KeywordFilter("lang", "en")])
+    _cmp(got, _brute(df, [("body", "data spark")],
+                     keep=lambda i: df["nch"][i] <= 80 and df["lang"][i] == "en"))
+
+
+def test_geo_filter(fielded_corpus, fielded_index):
+    df, _ = fielded_corpus
+    r = IndexReader(fielded_index)
+    got = search_fields(r, [("body", "data spark")], k=60,
+                        filters=[GeoRadiusFilter("lat", "lon", 0.0, 0.0,
+                                                 3000.0)])
+    want = _brute(df, [("body", "data spark")], k=60,
+                  keep=lambda i: haversine_km(df["lat"][i], df["lon"][i],
+                                              0.0, 0.0) <= 3000.0)
+    _cmp(got, want)
+
+
+def test_docstore_lookup(fielded_corpus, fielded_index):
+    df, _ = fielded_corpus
+    r = IndexReader(fielded_index)
+    dids = [doc_id_from_url(u) for u in df["url"][:7]]
+    urls = r.resolve_urls(dids)
+    assert urls == {d: u for d, u in zip(dids, df["url"][:7])}
+    # typed columns come back from the same binary-searched lookup
+    tbl = r.docstore.lookup(dids[:3], ["nch"])
+    assert set(tbl.column_names) == {"doc_id", "nch"}
+    assert tbl.num_rows == 3
+
+
+def test_fielded_resume(fielded_corpus, fielded_index, tmp_path):
+    # a rebuilt (resumed) fielded index answers identically
+    df, src = fielded_corpus
+    r1 = IndexReader(fielded_index)
+    build_index(src, fielded_index,
+                fields={"body": "body", "title": "title"},
+                keyword_fields={"lang": "lang"},
+                docvalue_fields={"nch": "nch", "lat": "lat", "lon": "lon"},
+                num_buckets=4, salt_shards=2, head_min_df=1000,
+                batch_size=16)
+    r2 = IndexReader(fielded_index)
+    q = [("body", "data spark window"), ("title", "café")]
+    assert search_fields(r1, q, k=10) == search_fields(r2, q, k=10)
