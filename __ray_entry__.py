@@ -67,11 +67,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": dq.q_exact_dedup,
         "fingerprint": dq.q_fingerprint,
         "quality": dq.q_quality,
+        "langid": dq.q_langid,
         "ann_cosine": dq.q_ann_cosine,
-        # rows-only (non-SQL-expressible: sketches / heuristics / LSH)
+        "embed_pairs_exact": dq.q_embed_pairs_exact,
+        # rows-only (non-SQL-expressible: sketches / LSH; brute-force
+        # oracles for these live in tests/test_dedup_ann.py)
         "minhash_pairs": dq.q_minhash_pairs,
         "simhash_pairs": dq.q_simhash_pairs,
-        "langid": dq.q_langid,
         "ann_lsh": dq.q_ann_lsh,
         "ngram_dedup": dq.q_ngram_dedup,
         "embed_dedup": dq.q_embed_dedup,
@@ -404,6 +406,49 @@ def oracle_sql() -> dict[str, str]:
                        len(list_filter(string_split(lower(text), ' '),
                            x -> x IN ('the', 'a', 'data', 'key'))) AS sw
                 FROM documents)
+        """,
+        # LangId tie semantics: first language in (de, en, es, fr) order with
+        # the maximal stopword-hit ratio; 'und' when every ratio is 0.
+        "langid": """
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(string_split(lower(text), ' '),
+                                   x -> x != '') AS toks
+                FROM documents),
+            r AS (
+                SELECT doc_id, len(toks) AS n,
+                       len(list_filter(toks, x -> x IN ('der','die','das','und',
+                           'ist','ein','eine','nicht','mit','zu'))) AS h_de,
+                       len(list_filter(toks, x -> x IN ('the','and','of','to',
+                           'a','in','is','it','that','for'))) AS h_en,
+                       len(list_filter(toks, x -> x IN ('el','la','los','de',
+                           'y','un','una','es','que','en'))) AS h_es,
+                       len(list_filter(toks, x -> x IN ('le','la','les','de',
+                           'des','et','un','une','est','que'))) AS h_fr
+                FROM t),
+            s AS (
+                SELECT doc_id,
+                       CASE WHEN n = 0 THEN 0.0 ELSE h_de * 1.0 / n END AS s_de,
+                       CASE WHEN n = 0 THEN 0.0 ELSE h_en * 1.0 / n END AS s_en,
+                       CASE WHEN n = 0 THEN 0.0 ELSE h_es * 1.0 / n END AS s_es,
+                       CASE WHEN n = 0 THEN 0.0 ELSE h_fr * 1.0 / n END AS s_fr
+                FROM r)
+            SELECT doc_id,
+                   CASE WHEN greatest(s_de, s_en, s_es, s_fr) <= 0.0 THEN 'und'
+                        WHEN s_de >= greatest(s_en, s_es, s_fr) THEN 'de'
+                        WHEN s_en >= greatest(s_es, s_fr) THEN 'en'
+                        WHEN s_es >= s_fr THEN 'es'
+                        ELSE 'fr' END AS lang_pred,
+                   round(greatest(s_de, s_en, s_es, s_fr), 6) AS lang_score
+            FROM s ORDER BY doc_id
+        """,
+        "embed_pairs_exact": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.embedding,
+                         b.embedding)::DOUBLE, 4) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+            ORDER BY id_a, id_b
         """,
         "ann_cosine": """
             SELECT e.vec_id,

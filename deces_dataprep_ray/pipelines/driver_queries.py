@@ -655,6 +655,21 @@ def q_geo_radius(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def q_embed_pairs_exact(sf_dir: str) -> pd.DataFrame:
+    """Exact all-pairs cosine >= 0.4 over the embeddings table — the
+    SQL-checkable baseline the LSH near-dup stage approximates."""
+    from ..stages.ann import all_pairs_cosine
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = all_pairs_cosine(ds, 0.4).to_pandas()
+    if out.empty:
+        return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                             "id_b": pd.Series([], dtype="int64"),
+                             "cosine": pd.Series([], dtype="float64")})
+    out["cosine"] = round_away(out["cosine"], 4)
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 # --- rows-only (non-SQL-expressible) ---------------------------------------
 
 def q_minhash_pairs(sf_dir: str) -> pd.DataFrame:
@@ -706,16 +721,25 @@ def q_embed_dedup(sf_dir: str) -> pd.DataFrame:
 
 
 def q_ann_lsh(sf_dir: str) -> pd.DataFrame:
-    """LSH-bucketed ANN (approximate; compared to brute force in tests,
+    """LSH-bucketed ANN against the PERSISTED signature index: built once
+    (bucket-sorted parquet), each query reads only its probe-bucket row
+    groups — the serving path (approximate; recall vs brute force in tests,
     rows-only here)."""
-    from ..stages.ann import lsh_topk
+    from ..stages.ann import AnnIndex, build_ann_index
 
-    q = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    tag = hashlib.sha256(
+        f"ann:{emb_path}:{os.path.getsize(emb_path)}".encode()).hexdigest()[:12]
+    index_dir = os.path.join("/tmp", "dcray_index_cache", "ann_" + tag)
+    if not os.path.exists(os.path.join(index_dir, "meta.json")):
+        ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).filter(
+            expr="vec_id != 0")
+        build_ann_index(ds, index_dir, nbits=8)
+
+    q = pq.read_table(emb_path)
     qvec = np.asarray(q.filter(pc.equal(q["vec_id"], 0))["embedding"][0].as_py(),
                       dtype=np.float32)
-    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).filter(
-        expr="vec_id != 0")
-    out = lsh_topk(ds, qvec[None, :], k=10, nbits=8)
+    out = AnnIndex(index_dir).topk(qvec[None, :], k=10)
     out = out[["vec_id", "cosine"]].copy()
     out["cosine"] = round_away(out["cosine"], 4)
     return out.reset_index(drop=True)

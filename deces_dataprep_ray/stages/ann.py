@@ -162,3 +162,174 @@ def lsh_topk(
         .head(k)
         .reset_index(drop=True)
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted ANN index: bucket-sorted signature+vector table, pruned reads
+# ---------------------------------------------------------------------------
+
+def build_ann_index(
+    ds: rd.Dataset,
+    index_dir: str,
+    *,
+    nbits: int = 12,
+    seed: int = 11,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    row_group_size: int = 2048,
+) -> dict:
+    """Persist the LSH-bucketed corpus once: signature map_batches → sort by
+    bucket → parquet whose files/row-groups carry bucket min/max statistics.
+    Queries then read ONLY the row groups intersecting their probe buckets
+    (round-1's ``lsh_topk`` re-signed the whole corpus per call — a full
+    scan per query; this is the serving-path fix). Layout is relocatable
+    (parquet + meta.json), like the postings index."""
+    import json
+    import os
+    import shutil
+
+    first = ds.take_batch(1, batch_format="pyarrow")
+    dim = len(first[vec_col][0])
+
+    sig_kwargs = dict(dim=dim, nbits=nbits, seed=seed,
+                      id_col=id_col, vec_col=vec_col)
+    bucketed = ds.map_batches(
+        LshSignature, fn_constructor_kwargs=sig_kwargs,
+        batch_format="pyarrow", concurrency=(1, 4),
+    ).sort("bucket")
+    tmp = index_dir + ".tmp"
+    for d in (tmp, index_dir):
+        if os.path.exists(d):
+            shutil.rmtree(d)
+    bucketed.write_parquet(tmp, row_group_size=row_group_size)
+    os.makedirs(tmp, exist_ok=True)
+    meta = {"dim": int(dim), "nbits": int(nbits), "seed": int(seed),
+            "id_col": id_col, "vec_col": vec_col}
+    with open(os.path.join(tmp, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, index_dir)
+    return meta
+
+
+class AnnIndex:
+    """Reader over a persisted ANN index: row-group-pruned probe reads."""
+
+    def __init__(self, index_dir: str):
+        import json
+        import os
+
+        import pyarrow.parquet as pq
+
+        with open(os.path.join(index_dir, "meta.json")) as f:
+            self.meta = json.load(f)
+        self.sig = LshSignature(self.meta["dim"], nbits=self.meta["nbits"],
+                                seed=self.meta["seed"],
+                                id_col=self.meta["id_col"],
+                                vec_col=self.meta["vec_col"])
+        self._files = []
+        self.total_rows = 0
+        for name in sorted(os.listdir(index_dir)):
+            if not name.endswith(".parquet"):
+                continue
+            path = os.path.join(index_dir, name)
+            md = pq.read_metadata(path)
+            idx = md.schema.to_arrow_schema().get_field_index("bucket")
+            mins = np.empty(md.num_row_groups, np.uint64)
+            maxs = np.empty(md.num_row_groups, np.uint64)
+            rows = np.empty(md.num_row_groups, np.int64)
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(idx).statistics
+                mins[g], maxs[g] = np.uint64(st.min), np.uint64(st.max)
+                rows[g] = md.row_group(g).num_rows
+            self.total_rows += int(rows.sum())
+            self._files.append({"path": path, "pf": None, "mins": mins,
+                                "maxs": maxs, "rows": rows})
+        self.last_rows_read = 0
+
+    def probe_buckets(self, queries: np.ndarray, probe_bits: int = 1
+                      ) -> np.ndarray:
+        qb = self.sig.bucket_of(np.asarray(queries, np.float32))
+        want: set[int] = set()
+        for b in qb.tolist():
+            want.add(int(b))
+            if probe_bits >= 1:
+                for i in range(self.meta["nbits"]):
+                    want.add(int(b) ^ (1 << i))
+        return np.asarray(sorted(want), dtype=np.uint64)
+
+    def topk(self, queries: np.ndarray, k: int = 10,
+             probe_bits: int = 1) -> pd.DataFrame:
+        """Exact cosine top-k within the probe buckets. Reads only row
+        groups whose bucket [min, max] intersects the probe set;
+        ``last_rows_read / total_rows`` reports the pruning ratio."""
+        import pyarrow.parquet as pq
+
+        q = np.asarray(queries, dtype=np.float64)
+        want = self.probe_buckets(q, probe_bits)
+        id_col, vec_col = self.meta["id_col"], self.meta["vec_col"]
+        scorer = BruteForceTopK(q, id_col=id_col, vec_col=vec_col, k=k)
+        parts, rows_read = [], 0
+        for f in self._files:
+            lo = np.searchsorted(want, f["mins"], side="left")
+            hi = np.searchsorted(want, f["maxs"], side="right")
+            groups = np.flatnonzero(hi > lo)
+            if not len(groups):
+                continue
+            if f["pf"] is None:
+                f["pf"] = pq.ParquetFile(f["path"])
+            tbl = f["pf"].read_row_groups(groups.tolist())
+            rows_read += tbl.num_rows
+            mask = np.isin(tbl["bucket"].to_numpy(), want)
+            tbl = tbl.filter(pa.array(mask))
+            if tbl.num_rows:
+                parts.append(scorer(tbl))
+        self.last_rows_read = rows_read
+        if not parts:
+            return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                                 id_col: pd.Series([], dtype="int64"),
+                                 "cosine": pd.Series([], dtype="float64")})
+        cand = pa.concat_tables(parts).to_pandas()
+        return (cand.sort_values(["query_id", "cosine", id_col],
+                                 ascending=[True, False, True])
+                .groupby("query_id", as_index=False).head(k)
+                .reset_index(drop=True))
+
+
+def all_pairs_cosine(
+    ds: rd.Dataset,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    concurrency: int | tuple[int, int] = (1, 4),
+) -> rd.Dataset:
+    """ALL pairs (id_a < id_b) with cosine >= threshold — the exact
+    verification baseline for :func:`..stages.dedup.embedding_near_duplicates`
+    (which is the sub-quadratic scale path). Blocked matmul: the normalized
+    corpus matrix broadcasts once (ray.put), each batch multiplies against
+    it and emits its qualifying pairs — quadratic FLOPs (inherent to exact
+    all-pairs), linear shuffle. Bound: the matrix must fit one worker
+    (~n×d×8 bytes); beyond that, use the LSH near-dup stage."""
+    full = ds.select_columns([id_col, vec_col]).to_pandas()
+    ids_all = full[id_col].to_numpy()
+    m = np.stack([np.asarray(v, np.float64) for v in full[vec_col]])
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    ref = ray.put((ids_all, m / norms))
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        aids = batch[id_col].to_numpy()
+        am = _to_matrix(batch[vec_col])
+        bids, bn = ray.get(ref)
+        if am.shape[0] == 0:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        an = am / np.where((n_ := np.linalg.norm(am, axis=1, keepdims=True)) == 0,
+                           1.0, n_)
+        sims = an @ bn.T
+        ii, jj = np.nonzero((sims >= threshold) & (aids[:, None] < bids[None, :]))
+        return pa.table({"id_a": pa.array(aids[ii], pa.int64()),
+                         "id_b": pa.array(bids[jj], pa.int64()),
+                         "cosine": pa.array(sims[ii, jj], pa.float64())})
+
+    return ds.map_batches(pairs, batch_format="pyarrow")

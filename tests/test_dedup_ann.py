@@ -179,3 +179,99 @@ def test_max_bucket_drop_is_counted():
     _ = minhash_lsh_duplicates(ds, concurrency=1, max_bucket=2,
                                drop_counter=dc).to_pandas()
     assert ray.get(dc.total.remote()) > 0
+
+
+def test_persisted_ann_index(tmp_path):
+    # persisted index must (a) return the same results as the on-the-fly
+    # lsh_topk (same signatures, same probe set) and (b) READ only a small
+    # fraction of the corpus rows — the serving-path property
+    from deces_dataprep_ray.stages.ann import AnnIndex, build_ann_index
+
+    ds, m = _emb_ds(n=500)
+    q = m[7]
+    idx = str(tmp_path / "ann")
+    build_ann_index(ds, idx, nbits=6, row_group_size=64)
+    r = AnnIndex(idx)
+    got = r.topk(q[None, :], k=10)
+    fly = lsh_topk(ds, q[None, :], k=10, nbits=6)
+    assert got["vec_id"].tolist() == fly["vec_id"].tolist()
+    assert np.allclose(got["cosine"].to_numpy(), fly["cosine"].to_numpy())
+    # 7 probe buckets of 64 → expect ~11% of rows; row-group pruning is
+    # coarse at this tiny scale, so just require a real cut
+    assert r.last_rows_read < 0.6 * r.total_rows
+    assert 7 in got["vec_id"].tolist()
+
+
+def test_minhash_pairs_match_bruteforce():
+    # the distributed LSH pipeline must return EXACTLY the pairs a direct
+    # computation finds: band collision AND signature-est jaccard >= t
+    from deces_dataprep_ray.stages.dedup import (
+        _minhash,
+        _perm_params,
+        _tokenize_shingles,
+        minhash_lsh_duplicates,
+    )
+
+    ds = _doc_ds()
+    df = ds.to_pandas()
+    nh, nb, t = 32, 8, 0.5
+    rpb = nh // nb
+    a, b = _perm_params(nh)
+    sigs = {int(r.doc_id): _minhash(_tokenize_shingles(r.text), a, b)
+            for r in df.itertuples()}
+    want = {}
+    ids = sorted(sigs)
+    for i, ia in enumerate(ids):
+        for ib in ids[i + 1:]:
+            sa, sb = sigs[ia], sigs[ib]
+            est = float((sa == sb).mean())
+            collide = any(
+                (sa[bd * rpb: (bd + 1) * rpb] == sb[bd * rpb: (bd + 1) * rpb]).all()
+                for bd in range(nb))
+            if collide and est >= t:
+                want[(ia, ib)] = est
+    got = minhash_lsh_duplicates(ds, threshold=t, num_hashes=nh,
+                                 num_bands=nb).to_pandas()
+    got_pairs = {(int(r.id_a), int(r.id_b)): float(r.jaccard)
+                 for r in got.itertuples()}
+    assert got_pairs == want
+
+
+def test_simhash_pairs_match_bruteforce():
+    # chunk bucketing is a pigeonhole GUARANTEE for hamming <= 3: the
+    # pipeline must equal the full quadratic scan exactly
+    from deces_dataprep_ray.functions.analysis import tokenize
+    from deces_dataprep_ray.stages.dedup import SimHashStage, simhash_duplicates
+
+    ds = _doc_ds()
+    df = ds.to_pandas()
+    hs = {int(r.doc_id): SimHashStage.simhash(tokenize(r.text))
+          for r in df.itertuples()}
+    want = {}
+    ids = sorted(hs)
+    for i, ia in enumerate(ids):
+        for ib in ids[i + 1:]:
+            d = bin(hs[ia] ^ hs[ib]).count("1")
+            if d <= 3:
+                want[(ia, ib)] = d
+    got = simhash_duplicates(ds).to_pandas()
+    got_pairs = {(int(r.id_a), int(r.id_b)): int(r.hamming)
+                 for r in got.itertuples()}
+    assert got_pairs == want
+
+
+def test_all_pairs_cosine_matches_numpy():
+    from deces_dataprep_ray.stages.ann import all_pairs_cosine
+
+    ds, m = _emb_ds(n=80)
+    got = all_pairs_cosine(ds, 0.3).to_pandas()
+    m64 = m.astype(np.float64)
+    n = m64 / np.linalg.norm(m64, axis=1, keepdims=True)
+    sims = n @ n.T
+    want = {(i, j): sims[i, j] for i in range(80) for j in range(i + 1, 80)
+            if sims[i, j] >= 0.3}
+    got_pairs = {(int(r.id_a), int(r.id_b)): float(r.cosine)
+                 for r in got.itertuples()}
+    assert set(got_pairs) == set(want)
+    for k in want:
+        assert abs(got_pairs[k] - want[k]) < 1e-12
