@@ -164,3 +164,22 @@ def test_deleted_columns(result):
         assert not c.endswith("_NORM") or c.startswith("DATE")
         assert c != "NOM_PRENOMS"
         assert c not in ("PAYS_NAISSANCE_CODE", "PAYS_DECES_CODE")
+
+
+def test_geopoint_typing(tmp_path):
+    # GEOPOINT_* "lat,lon" strings come out as typed float64 LAT/LON columns
+    import pyarrow as pa
+
+    from deces_dataprep_ray.pipelines.deces import _type_geopoints
+
+    t = pa.table({
+        "GEOPOINT_NAISSANCE": ["48.85,2.35", "", None, "16.27,-61.5", "junk"],
+        "GEOPOINT_DECES": ["-12.78,45.23", "48.82,2.21", "bad,pair", "", "1,2"],
+    })
+    out = _type_geopoints(t)
+    lat = out["GEOPOINT_NAISSANCE_LAT"].to_pylist()
+    lon = out["GEOPOINT_NAISSANCE_LON"].to_pylist()
+    assert lat == [48.85, None, None, 16.27, None]
+    assert lon == [2.35, None, None, -61.5, None]
+    assert out["GEOPOINT_DECES_LAT"].to_pylist() == [-12.78, 48.82, None, None, 1.0]
+    assert out["GEOPOINT_DECES_LON"].type == pa.float64()

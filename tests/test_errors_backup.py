@@ -1,0 +1,104 @@
+"""Error budget (ERR_MAX analogue) + index backup push/pull/verify."""
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray
+import ray.data as rd
+
+from deces_dataprep_ray.index.backup import (
+    BACKUP_NAME,
+    pull_index,
+    push_index,
+    verify_index,
+)
+from deces_dataprep_ray.stages.errors import (
+    ErrorBudget,
+    ErrorBudgetExceeded,
+    with_error_budget,
+)
+
+
+def _make_flaky():
+    # defined via factory so cloudpickle ships it by value to workers
+    def flaky_fn(batch: pa.Table) -> pa.Table:
+        vals = batch["x"].to_numpy()
+        if (vals < 0).any():
+            raise ValueError("negative input")
+        return pa.table({"x": batch["x"], "y": pa.array(np.sqrt(vals))})
+    return flaky_fn
+
+
+def test_bad_rows_dropped_within_budget():
+    x = np.arange(-3, 97).astype(np.float64)  # 3 poison rows
+    ds = rd.from_pandas(pd.DataFrame({"x": x}))
+    budget = ErrorBudget.remote(max_errors=20)
+    out = with_error_budget(ds, _make_flaky(), budget, max_errors=20).to_pandas()
+    assert len(out) == 97
+    assert ray.get(budget.total.remote()) == 3
+    samples = ray.get(budget.errors.remote())
+    assert samples and "negative input" in samples[0]
+
+
+def test_budget_exceeded_aborts():
+    x = -np.arange(1, 101).astype(np.float64)  # all 100 rows poison
+    ds = rd.from_pandas(pd.DataFrame({"x": x}))
+    budget = ErrorBudget.remote(max_errors=20)
+    with pytest.raises(Exception) as ei:
+        with_error_budget(ds, _make_flaky(), budget, max_errors=20).to_pandas()
+    assert "error budget exceeded" in str(ei.value)
+
+
+def test_clean_input_untouched():
+    x = np.arange(50).astype(np.float64)
+    ds = rd.from_pandas(pd.DataFrame({"x": x}))
+    budget = ErrorBudget.remote(max_errors=5)
+    out = with_error_budget(ds, _make_flaky(), budget).to_pandas()
+    assert len(out) == 50 and ray.get(budget.total.remote()) == 0
+
+
+def test_push_pull_verify_roundtrip(built_index, tmp_path):
+    idx, _ = built_index
+    dest = str(tmp_path / "backup")
+    doc = push_index(idx, dest)
+    assert doc["n_files"] > 0
+    assert os.path.exists(os.path.join(dest, BACKUP_NAME))
+
+    restored = str(tmp_path / "restored")
+    report = pull_index(dest, restored)
+    assert report["ok"] and report["checked"] > 0
+
+    # the restored index answers identically
+    from deces_dataprep_ray.index.query import search_exact
+    from deces_dataprep_ray.index.reader import IndexReader
+
+    r1, r2 = IndexReader(idx), IndexReader(restored)
+    assert search_exact(r1, "term1 term2", 10) == \
+           search_exact(r2, "term1 term2", 10)
+
+
+def test_verify_detects_corruption(built_index, tmp_path):
+    idx, _ = built_index
+    dest = str(tmp_path / "backup2")
+    push_index(idx, dest)
+    # corrupt one bucket payload byte
+    victim = None
+    postings = os.path.join(dest, "postings")
+    for name in sorted(os.listdir(postings)):
+        p = os.path.join(postings, name, "part.parquet")
+        if name.startswith("bucket=") and os.path.exists(p):
+            victim = p
+            break
+    assert victim
+    data = bytearray(open(victim, "rb").read())
+    data[len(data) // 2] ^= 0xFF
+    open(victim, "wb").write(bytes(data))
+    report = verify_index(dest)
+    assert not report["ok"]
+    assert any("mismatch" in e for e in report["errors"])
+    with pytest.raises(RuntimeError):
+        pull_index(dest, str(tmp_path / "restored2"))
