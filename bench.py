@@ -176,6 +176,35 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool) -> dict:
             fn(sf_dir)
             queries[name] = round(time.time() - t, 3)
 
+        # fielded index: build over the documents table (text+source fields,
+        # lang keyword, n_chars docvalue), then filtered-query p50 warm
+        t = time.time()
+        fidx = dq._fielded_index_for(sf_dir)
+        queries["fielded_index_build"] = round(time.time() - t, 3)
+        from deces_dataprep_ray.index.fielded import (
+            KeywordFilter,
+            RangeFilter,
+            search_fields,
+        )
+
+        fr = IndexReader(fidx)
+        search_fields(fr, [("text", "data spark window")], 10)  # warm
+        lat_f = []
+        for q in ["data spark window", "slow query", "table scan merge",
+                  "row group filter", "hash join stream"]:
+            t = time.time()
+            search_fields(fr, [("text", q)], 10,
+                          filters=[KeywordFilter("lang", "en"),
+                                   RangeFilter("n_chars", 100, 400)])
+            lat_f.append(time.time() - t)
+        queries["query_fielded_filtered_p50"] = round(
+            statistics.median(lat_f), 4)
+
+        # persisted ANN index: one query reads only probe-bucket row groups
+        t = time.time()
+        dq.q_ann_lsh(sf_dir)
+        queries["ann_lsh_persisted"] = round(time.time() - t, 3)
+
     man = reader.manifest
     n_postings = man.phase("postings").get("n_postings", 0)
     phase_seconds = {k: v.get("seconds") for k, v in man.doc["phases"].items()}
