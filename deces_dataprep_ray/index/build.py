@@ -253,29 +253,25 @@ def _emit_partials_fn(
 # Phase C helpers: head-term detection (df pre-pass)
 # ---------------------------------------------------------------------------
 
-def _df_cf_partials(batch: pa.Table) -> pa.Table:
-    """Per-batch partial document/collection frequencies: one (term, df, cf)
-    row per unique term per batch — the map-side combine that keeps the
-    termstats groupby small. Terms are per-doc unique in ``analyzed``, so a
-    bincount over factorize codes is the per-batch df; cf is the tf-weighted
-    bincount. Σcf over all terms = total token count, so the global doc
-    stats fall out of this pass for free."""
+def _df_partials(batch: pa.Table) -> pa.Table:
+    """Per-batch partial document frequencies: one (term, df) row per unique
+    term per batch — the map-side combine that keeps the termstats groupby
+    small. Terms are per-doc unique in ``analyzed``, so a bincount over
+    factorize codes is the per-batch df. (Collection frequency is NOT
+    computed here: per-term cf already falls out of the postings reduce, and
+    the global token count is Σdl over the cheap uint32 ``dl`` column — so
+    this pass reads ONLY the ``terms`` column, skipping the tf lists.)"""
     import pandas as pd
 
     col = batch["terms"].combine_chunks()
     flat = col.flatten().to_numpy(zero_copy_only=False)
     if len(flat) == 0:
         return pa.table({"term": pa.array([], pa.large_string()),
-                         "df": pa.array([], pa.int64()),
-                         "cf": pa.array([], pa.int64())})
-    tfs = batch["tfs"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+                         "df": pa.array([], pa.int64())})
     codes, uq = pd.factorize(flat, sort=False)
     cnt = np.bincount(codes, minlength=len(uq))
-    cf = np.bincount(codes, weights=tfs.astype(np.float64),
-                     minlength=len(uq)).astype(np.int64)
     return pa.table({"term": pa.array(np.asarray(uq, object), pa.large_string()),
-                     "df": pa.array(cnt, pa.int64()),
-                     "cf": pa.array(cf, pa.int64())})
+                     "df": pa.array(cnt, pa.int64())})
 
 
 # ---------------------------------------------------------------------------
@@ -744,14 +740,14 @@ def build_index(
     termstats_dir = os.path.join(index_dir, "termstats")
     if not man.phase_done("termstats"):
         df_ds = (
-            rd.read_parquet(analyzed_dir, columns=["terms", "tfs"],
+            rd.read_parquet(analyzed_dir, columns=["terms"],
                             override_num_blocks=nblocks)
             # 4x batches: partial rows per batch ≈ the batch's vocabulary,
             # so bigger batches shrink the string-keyed aggregate's input
-            .map_batches(_df_cf_partials, batch_format="pyarrow",
+            .map_batches(_df_partials, batch_format="pyarrow",
                          batch_size=batch_size * 4)
             .groupby("term", num_partitions=min(16, nblocks))
-            .aggregate(Sum("df", alias_name="df"), Sum("cf", alias_name="cf"))
+            .aggregate(Sum("df", alias_name="df"))
         )
         tmp_dir = termstats_dir + ".tmp"
         for d in (tmp_dir, termstats_dir):
@@ -767,20 +763,19 @@ def build_index(
         )
         man.mark_done("termstats", dir="termstats", n_terms=int(n_terms), seconds=_took())
 
-    # --- Phase C: global doc stats (metadata-only: N from analyzed parquet
-    # row counts, total tokens = Σcf from termstats) -----------------------
+    # --- Phase C: global doc stats (N from analyzed parquet row counts,
+    # total tokens = Σ over the cheap uint32 dl column) --------------------
     if not man.phase_done("stats"):
         n_docs = sum(
             pq.read_metadata(os.path.join(analyzed_dir, f)).num_rows
             for f in os.listdir(analyzed_dir)
             if f.endswith(".parquet")
         )
-        ts_files = [f for f in os.listdir(termstats_dir) if f.endswith(".parquet")]
-        if ts_files:
+        if n_docs:
             import pyarrow.dataset as pa_dataset
 
-            cf_tbl = pa_dataset.dataset(termstats_dir).to_table(columns=["cf"])
-            total_dl = int(pc.sum(cf_tbl["cf"]).as_py() or 0)
+            dl_tbl = pa_dataset.dataset(analyzed_dir).to_table(columns=["dl"])
+            total_dl = int(pc.sum(dl_tbl["dl"]).as_py() or 0)
         else:
             total_dl = 0
         avgdl = (total_dl / n_docs) if n_docs else 0.0
@@ -913,8 +908,12 @@ def build_index(
     if not man.phase_done("docvalues"):
         dv_dir = os.path.join(index_dir, "docvalues")
         dv_cols = ["doc_id", "url", "dl"] + [n for n, _ in passthrough]
+        # docvalue rows are tiny (~40 B/doc): a CPU-scaled block count makes
+        # the sort exchange SLOWER (measured 0.6 s @8cpu → 1.1 s @32cpu on
+        # 400k rows); cap the sort width instead of scaling it with the pool
+        dv_blocks = min(nblocks, 16)
         dv = (rd.read_parquet(analyzed_dir, columns=dv_cols,
-                              override_num_blocks=nblocks)
+                              override_num_blocks=dv_blocks)
               .sort("doc_id"))
         tmp_dir = dv_dir + ".tmp"
         for d in (tmp_dir, dv_dir):

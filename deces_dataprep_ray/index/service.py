@@ -28,11 +28,11 @@ class _QueryWorker:
 
         self.reader = IndexReader(index_dir)
 
-    def search(self, query: str, k: int = 10, algorithm: str = "pruned"):
+    def search(self, query: str, k: int = 10, algorithm: str = "auto"):
         return _search(self.reader, query, k, algorithm=algorithm)
 
     def search_many(self, queries: list[str], k: int = 10,
-                    algorithm: str = "pruned"):
+                    algorithm: str = "auto"):
         return [_search(self.reader, q, k, algorithm=algorithm)
                 for q in queries]
 
@@ -48,12 +48,12 @@ class QueryService:
         ]
         self._rr = itertools.cycle(self.workers)
 
-    def search(self, query: str, k: int = 10, algorithm: str = "pruned"):
+    def search(self, query: str, k: int = 10, algorithm: str = "auto"):
         """Single query (blocking)."""
         return ray.get(next(self._rr).search.remote(query, k, algorithm))
 
     def search_batch(self, queries: list[str], k: int = 10,
-                     algorithm: str = "pruned") -> list:
+                     algorithm: str = "auto") -> list:
         """Fan a query batch across the pool; results in input order."""
         n = len(self.workers)
         shards: list[list[str]] = [[] for _ in range(n)]

@@ -94,3 +94,103 @@ def test_media_decode_real_path_raises():
     tbl = synth_media_table(2)
     with pytest.raises(NotImplementedError):
         DecodeImage(fake=False)(tbl)
+
+
+def test_ppm_roundtrip_and_bmp_decode():
+    from deces_dataprep_ray.stages.multimodal import (
+        decode_bmp,
+        decode_ppm,
+        encode_ppm,
+    )
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (5, 7, 3), dtype=np.int64).astype(np.uint8)
+    assert (decode_ppm(encode_ppm(img)) == img).all()
+    # comments + whitespace in header
+    p = b"P6\n# a comment\n7   5\n255\n" + img.tobytes()
+    assert (decode_ppm(p) == img).all()
+
+    # hand-built 24-bit BMP (bottom-up, padded rows)
+    import struct
+    h, w = img.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    rows = []
+    for y in range(h - 1, -1, -1):
+        bgr = img[y][:, ::-1].tobytes()
+        rows.append(bgr + b"\x00" * (stride - len(bgr)))
+    pix = b"".join(rows)
+    header = (b"BM" + struct.pack("<IHHI", 54 + len(pix), 0, 0, 54)
+              + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pix),
+                            2835, 2835, 0, 0))
+    assert (decode_bmp(header + pix) == img).all()
+
+
+def test_wav_decode_and_audio_stage():
+    from deces_dataprep_ray.stages.multimodal import DecodeAudio, decode_wav
+
+    tbl = synth_media_table(12)
+    audio = tbl.filter(pa.compute.equal(tbl["kind"], "audio"))
+    x, rate = decode_wav(audio["payload"][0].as_py())
+    # first audio row is media_id 1 → 2-second clip
+    assert rate == 8000 and len(x) == 16000
+    # pure sine at amplitude .5: rms ~ .354
+    assert abs(float(np.sqrt(np.mean(x ** 2))) - 0.3536) < 0.01
+
+    out = DecodeAudio(dim=8)(audio)
+    assert out.num_rows == audio.num_rows
+    assert all(abs(r - 0.3536) < 0.01 for r in out["rms"].to_pylist())
+    assert all(len(e) == 8 for e in out["envelope"].to_pylist())
+
+
+def test_raw_video_frame_sampling_exact():
+    from deces_dataprep_ray.stages.multimodal import (
+        decode_ppm,
+        decode_raw_video,
+        encode_raw_video,
+    )
+
+    rng = np.random.default_rng(3)
+    vid = rng.integers(0, 256, (25, 6, 8, 3), dtype=np.int64).astype(np.uint8)
+    payload = encode_raw_video(vid, fps=10)
+    back, fps = decode_raw_video(payload)
+    assert fps == 10 and (back == vid).all()
+
+    tbl = pa.table({
+        "media_id": pa.array([7], pa.int64()),
+        "kind": pa.array(["video"], pa.string()),
+        "payload": pa.array([payload], pa.large_binary()),
+        "mime": pa.array(["video/x-raw"], pa.string()),
+        "width": pa.array([8], pa.int32()),
+        "height": pa.array([6], pa.int32()),
+        "duration_ms": pa.array([2500], pa.int32()),
+    })
+    frames = SampleFrames(every_ms=1000, max_frames=4)(tbl)
+    # fps 10 x 1000ms -> every 10th frame: indices 0, 10, 20
+    assert frames.num_rows == 3
+    got = decode_ppm(frames["frame"][1].as_py())
+    assert (got == vid[10]).all()
+
+
+def test_resize_real_image():
+    from deces_dataprep_ray.stages.multimodal import decode_ppm
+
+    tbl = synth_media_table(3)
+    img_rows = tbl.filter(pa.compute.equal(tbl["kind"], "image"))
+    out = ResizeImage(width=10, height=6, fake=False)  # no compressed rows
+    res = out(img_rows)
+    img = decode_ppm(res["payload"][0].as_py())
+    assert img.shape == (6, 10, 3)
+
+
+def test_real_image_features_from_pixels():
+    # PPM decode path: feature equals the grayscale thumbnail, not a hash
+    from deces_dataprep_ray.stages.multimodal import (
+        _image_features,
+        decode_ppm,
+    )
+
+    tbl = synth_media_table(3)
+    img_rows = tbl.filter(pa.compute.equal(tbl["kind"], "image"))
+    out = DecodeImage(dim=16)(img_rows)
+    want = _image_features(decode_ppm(img_rows["payload"][0].as_py()), 16)
+    assert np.allclose(np.asarray(out["feature"][0].as_py()), want)
