@@ -950,12 +950,17 @@ def compact_head_segments(index_dir: str) -> int:
     reader = IndexReader(index_dir)
     cfg = man.doc["config"]
     stats = man.phase("stats")
+    # fielded indexes: a head term's block-max weight must use ITS field's
+    # avgdl, exactly as build_bucket did
+    favg = {f: (float(v["avgdl"]) or 1.0)
+            for f, v in reader.field_stats.items()}
     rows: dict[str, list] = {name: [] for name in BUCKET_SCHEMA.names}
     for term in heads:
         docs, tfs, dls = reader.postings(term)
         if len(docs) == 0:
             continue
-        w = bm25_weight(tfs, dls, float(stats["avgdl"]) or 1.0, cfg["k1"], cfg["b"])
+        avgdl_t = favg.get(term.split(":", 1)[0], float(stats["avgdl"]) or 1.0)
+        w = bm25_weight(tfs, dls, avgdl_t, cfg["k1"], cfg["b"])
         enc = encode_postings_blocks(docs, tfs, dls, w, block_size=cfg["block_size"])
         rows["term"].append(term)
         rows["seg"].append(-1)

@@ -171,3 +171,25 @@ def test_fielded_resume(fielded_corpus, fielded_index, tmp_path):
     r2 = IndexReader(fielded_index)
     q = [("body", "data spark window"), ("title", "café")]
     assert search_fields(r1, q, k=10) == search_fields(r2, q, k=10)
+
+
+def test_fielded_head_compaction(fielded_corpus, tmp_path):
+    # head compaction must preserve fielded results (per-field avgdl in
+    # block-max weights)
+    df, src = fielded_corpus
+    from deces_dataprep_ray.index.build import build_index, compact_head_segments
+
+    idx = str(tmp_path / "cidx")
+    build_index(src, idx,
+                fields={"body": "body", "title": "title"},
+                keyword_fields={"lang": "lang"},
+                num_buckets=4, salt_shards=2, head_min_df=10,  # force heads
+                batch_size=16)
+    r1 = IndexReader(idx)
+    assert r1.head_terms, "fixture should produce head terms at min_df=10"
+    q = [("body", "data spark window"), ("title", "café")]
+    before = search_fields(r1, q, k=10)
+    compact_head_segments(idx)
+    r2 = IndexReader(idx)
+    assert r2.head_compacted
+    assert search_fields(r2, q, k=10) == before
