@@ -105,7 +105,10 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool) -> dict:
         t0 = time.time()
         build_index(
             paths, index_dir,
-            num_buckets=max(32, num_cpus * 2),
+            # FIXED across parallelism levels: the scaling protocol compares
+            # the SAME job at 8 and 32 CPUs, so the physical plan (bucket
+            # count = reduce partitions) must not depend on the CPU count
+            num_buckets=64,
             salt_shards=8,
             batch_size=4096,
         )
