@@ -32,17 +32,38 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--salt-shards", type=int, default=8)
     b.add_argument("--batch-size", type=int, default=4096)
     b.add_argument("--no-resume", action="store_true")
+    b.add_argument("--sample", type=int, default=0, metavar="N",
+                   help="dry-run on the first N rows only (the reference's "
+                        "test_chunk_size head-sample)")
+    b.add_argument("--fields", default=None,
+                   help='JSON {"field": "column"} — analyzed fields')
+    b.add_argument("--keyword-fields", default=None,
+                   help='JSON {"field": "column"} — raw keyword sub-fields')
+    b.add_argument("--docvalue-fields", default=None,
+                   help='JSON {"name": "column"} — typed docvalues columns')
 
     q = sub.add_parser("query", help="BM25 top-k over a built index")
     q.add_argument("--index", required=True)
     q.add_argument("--q", required=True)
     q.add_argument("-k", type=int, default=10)
-    q.add_argument("--algorithm", default="pruned",
-                   choices=["pruned", "wand", "exact"])
+    q.add_argument("--algorithm", default="auto",
+                   choices=["auto", "pruned", "wand", "exact"])
     q.add_argument("--urls", action="store_true", help="resolve doc urls")
 
     c = sub.add_parser("compact", help="compact head-term segments")
     c.add_argument("--index", required=True)
+
+    p = sub.add_parser("push", help="backup the index with a checksummed "
+                                    "inventory")
+    p.add_argument("--index", required=True)
+    p.add_argument("--dest", required=True)
+
+    pl = sub.add_parser("pull", help="restore + verify a pushed backup")
+    pl.add_argument("--src", required=True)
+    pl.add_argument("--index", required=True)
+
+    v = sub.add_parser("verify", help="verify index integrity in place")
+    v.add_argument("--index", required=True)
 
     args = ap.parse_args(argv)
 
@@ -60,11 +81,21 @@ def main(argv: list[str] | None = None) -> int:
             from .index.build import build_index
 
             paths = sorted(glob.glob(args.input)) or [args.input]
+            source = paths
+            if args.sample:
+                import ray.data as rd
+
+                source = rd.read_parquet(paths).limit(args.sample)
             man = build_index(
-                paths, args.index, url_col=args.url_col,
+                source, args.index, url_col=args.url_col,
                 text_col=args.text_col, num_buckets=args.num_buckets,
                 salt_shards=args.salt_shards, batch_size=args.batch_size,
                 resume=not args.no_resume,
+                fields=json.loads(args.fields) if args.fields else None,
+                keyword_fields=(json.loads(args.keyword_fields)
+                                if args.keyword_fields else None),
+                docvalue_fields=(json.loads(args.docvalue_fields)
+                                 if args.docvalue_fields else None),
             )
             print(json.dumps({
                 "index": args.index,
@@ -89,6 +120,21 @@ def main(argv: list[str] | None = None) -> int:
 
             n = compact_head_segments(args.index)
             print(json.dumps({"compacted_terms": n}))
+        elif args.cmd == "push":
+            from .index.backup import push_index
+
+            doc = push_index(args.index, args.dest)
+            print(json.dumps({"dest": args.dest, "n_files": doc["n_files"],
+                              "bytes": doc["bytes"]}))
+        elif args.cmd == "pull":
+            from .index.backup import pull_index
+
+            report = pull_index(args.src, args.index)
+            print(json.dumps(report))
+        elif args.cmd == "verify":
+            from .index.backup import verify_index
+
+            print(json.dumps(verify_index(args.index)))
     finally:
         ray.shutdown()
     return 0
