@@ -94,18 +94,25 @@ class GeoRadiusFilter:
         return np.sort(ids[d <= self.radius_km])
 
 
-def search_fields(
-    reader: IndexReader,
-    matches: list[tuple[str, str]],
-    k: int = 10,
-    filters: list | None = None,
-) -> list[tuple[int, float]]:
-    """Bool query: Σ BM25(field, query) over ``matches``, restricted to docs
-    passing every filter. Exhaustive vectorized scorer (the oracle-grade
-    path; block-max pruning composes later the same way as unfielded)."""
+def _resolve_filters(reader: IndexReader, filters) -> np.ndarray | None:
+    """Intersect every filter's doc set; None = no filters, empty = no hits."""
+    if not filters:
+        return None
+    allow = None
+    for flt in filters:
+        ids = flt.doc_ids(reader)
+        allow = ids if allow is None else np.intersect1d(
+            allow, ids, assume_unique=True)
+        if not len(allow):
+            break
+    return allow
+
+
+def _gather_field_terms(reader: IndexReader, matches) -> list[tuple]:
+    """(n_f, avgdl_f, field:term) per query term, ascending (field, term)."""
     from ..functions.analysis import tokenize
 
-    gathered = []  # (field, term, docs, tfs, dls) in ascending (field, term)
+    out = []
     for field, query in sorted(matches):
         fstats = reader.field_stats.get(field)
         if fstats is None:
@@ -113,21 +120,34 @@ def search_fields(
         n_f = int(fstats["n_docs"])
         avgdl_f = float(fstats["avgdl"]) or 1.0
         for tok in sorted(set(tokenize(query))):
-            docs, tfs, dls = reader.postings(f"{field}:{tok}")
-            if len(docs):
-                gathered.append((n_f, avgdl_f, docs, tfs, dls))
+            out.append((n_f, avgdl_f, f"{field}:{tok}"))
+    return out
+
+
+def search_fields(
+    reader: IndexReader,
+    matches: list[tuple[str, str]],
+    k: int = 10,
+    filters: list | None = None,
+    algorithm: str = "exact",
+) -> list[tuple[int, float]]:
+    """Bool query: Σ BM25(field, query) over ``matches``, restricted to docs
+    passing every filter. ``exact`` is the exhaustive vectorized oracle;
+    ``pruned`` applies the same block-max pruning as the unfielded engine
+    (rank- and score-identical, tested) and is the 10^12-doc serving path."""
+    if algorithm == "pruned":
+        return search_fields_pruned(reader, matches, k, filters)
+    gathered = []  # (n_f, avgdl_f, docs, tfs, dls) in ascending (field, term)
+    for n_f, avgdl_f, term in _gather_field_terms(reader, matches):
+        docs, tfs, dls = reader.postings(term)
+        if len(docs):
+            gathered.append((n_f, avgdl_f, docs, tfs, dls))
     if not gathered:
         return []
     union = np.unique(np.concatenate([g[2] for g in gathered]))
 
-    if filters:
-        allow = None
-        for flt in filters:
-            ids = flt.doc_ids(reader)
-            allow = ids if allow is None else np.intersect1d(
-                allow, ids, assume_unique=True)
-            if not len(allow):
-                return []
+    allow = _resolve_filters(reader, filters)
+    if allow is not None:
         union = union[np.isin(union, allow)]
         if not len(union):
             return []
@@ -143,5 +163,119 @@ def search_fields(
             continue
         w = bm25_weight(tfs[sel], dls[sel], avgdl_f, reader.k1, reader.b)
         scores[pos[sel]] += idf(n_f, len(docs)) * w
+    live = scores > 0.0
+    return _topk_from_scores(union[live], scores[live], k)
+
+
+def search_fields_pruned(
+    reader: IndexReader,
+    matches: list[tuple[str, str]],
+    k: int = 10,
+    filters: list | None = None,
+) -> list[tuple[int, float]]:
+    """Block-max pruned fielded scorer — rank/score-identical to the exact
+    path (same float64 accumulation over the surviving postings).
+
+    1. Resolve the filter doc set FIRST: the pruning threshold θ must lower-
+       bound the k-th FILTERED score, so the bootstrap only counts allowed
+       docs (an unfiltered bootstrap could over-prune).
+    2. Bootstrap θ from the strongest (field, term)'s blocks in descending
+       block-max order until k allowed docs are seen (θ = k-th best solo
+       contribution — a valid lower bound on the final k-th score).
+    3. Drop block b of term t iff idf_t·max_w(b) + Σ_{t'≠t} UB(t') < θ − ε.
+    4. Exact accumulation over surviving blocks, masked by the filter set.
+    """
+    import math as _math
+
+    from ..functions.codecs import decode_block, decode_block_run
+
+    allow = _resolve_filters(reader, filters)
+    if allow is not None and not len(allow):
+        return []
+
+    infos = []
+    for n_f, avgdl_f, term in _gather_field_terms(reader, matches):
+        segs = reader.term_segments(term)
+        if not segs:
+            continue
+        df = sum(r["df"] for r in segs)
+        w_idf = idf(n_f, df)
+        blk_max = np.concatenate([r["blk_max_w"] for r in segs])
+        infos.append({"segs": segs, "idf": w_idf, "avgdl": avgdl_f,
+                      "term": term,
+                      "ub": w_idf * float(blk_max.max()) if len(blk_max) else 0.0})
+    if not infos:
+        return []
+    total_ub = sum(i["ub"] for i in infos)
+
+    best = max(infos, key=lambda i: i["ub"])
+    order = []
+    for si, seg in enumerate(best["segs"]):
+        for bi in range(len(seg["blk_last"])):
+            order.append((-seg["blk_max_w"][bi], si, bi))
+    order.sort()
+    solo: list[np.ndarray] = []
+    seen = 0
+    for _, si, bi in order:
+        seg = best["segs"][si]
+        docs_b, tfs, dls = decode_block(seg, bi)
+        w = bm25_weight(tfs, dls, best["avgdl"], reader.k1, reader.b)
+        contrib = best["idf"] * w
+        if allow is not None:
+            contrib = contrib[np.isin(docs_b, allow)]
+        if len(contrib):
+            solo.append(contrib)
+            seen += len(contrib)
+        if seen >= k:
+            break
+    theta = -_math.inf
+    if solo:
+        allsolo = np.concatenate(solo)
+        if len(allsolo) >= k:
+            theta = float(np.partition(allsolo, len(allsolo) - k)[len(allsolo) - k])
+
+    gathered = []
+    for info in infos:
+        rest_ub = total_ub - info["ub"]
+        keep_masks = [
+            info["idf"] * seg["blk_max_w"] + rest_ub >= theta - 1e-9
+            for seg in info["segs"]
+        ]
+        if all(m.all() for m in keep_masks):
+            docs, tfs, dls = reader.postings(info["term"])
+            w = bm25_weight(tfs, dls, info["avgdl"], reader.k1, reader.b)
+            gathered.append((docs, info["idf"] * w))
+            continue
+        docs_parts, w_parts = [], []
+        for seg, mask in zip(info["segs"], keep_masks):
+            keep = np.flatnonzero(mask)
+            if len(keep) == 0:
+                continue
+            run_breaks = np.flatnonzero(np.diff(keep) > 1)
+            run_starts = np.concatenate(([0], run_breaks + 1))
+            run_ends = np.concatenate((run_breaks, [len(keep) - 1]))
+            for rs, re_ in zip(run_starts, run_ends):
+                d, tfs, dls = decode_block_run(seg, int(keep[rs]), int(keep[re_]))
+                docs_parts.append(d)
+                w_parts.append(bm25_weight(tfs, dls, info["avgdl"],
+                                           reader.k1, reader.b))
+        if docs_parts:
+            gathered.append((np.concatenate(docs_parts),
+                             info["idf"] * np.concatenate(w_parts)))
+    if not gathered:
+        return []
+    union = np.unique(np.concatenate([g[0] for g in gathered]))
+    if allow is not None:
+        union = union[np.isin(union, allow)]
+        if not len(union):
+            return []
+    scores = np.zeros(len(union), dtype=np.float64)
+    for docs, contrib in gathered:
+        pos = np.searchsorted(union, docs)
+        ok = pos < len(union)
+        hit = union[pos[ok]] == docs[ok]
+        sel = np.flatnonzero(ok)[hit]
+        if len(sel):
+            scores[pos[sel]] += contrib[sel]
     live = scores > 0.0
     return _topk_from_scores(union[live], scores[live], k)

@@ -193,3 +193,25 @@ def test_fielded_head_compaction(fielded_corpus, tmp_path):
     r2 = IndexReader(idx)
     assert r2.head_compacted
     assert search_fields(r2, q, k=10) == before
+
+
+def test_pruned_matches_exact_fielded(fielded_corpus, fielded_index):
+    from deces_dataprep_ray.index.fielded import search_fields_pruned
+
+    df, _ = fielded_corpus
+    r = IndexReader(fielded_index)
+    cases = [
+        ([("body", "data spark window"), ("title", "café")], None),
+        ([("body", "join scan merge row")], None),
+        ([("body", "data spark")], [KeywordFilter("lang", "en")]),
+        ([("body", "data spark")], [RangeFilter("nch", 20, 60)]),
+        ([("body", "groupe café")], [KeywordFilter("lang", "fr"),
+                                     RangeFilter("nch", hi=90)]),
+    ]
+    for matches, filters in cases:
+        exact = search_fields(r, matches, k=10, filters=filters)
+        pruned = search_fields_pruned(r, matches, k=10, filters=filters)
+        assert pruned == exact, (matches, filters)
+        via_param = search_fields(r, matches, k=10, filters=filters,
+                                  algorithm="pruned")
+        assert via_param == exact
