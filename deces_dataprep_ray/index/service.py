@@ -36,6 +36,13 @@ class _QueryWorker:
         return [_search(self.reader, q, k, algorithm=algorithm)
                 for q in queries]
 
+    def search_fields(self, matches, k: int = 10, filters=None,
+                      algorithm: str = "exact"):
+        from .fielded import search_fields as _sf
+
+        return _sf(self.reader, matches, k, filters=filters,
+                   algorithm=algorithm)
+
 
 class QueryService:
     """Round-robin pool of query actors over one index directory."""
@@ -51,6 +58,13 @@ class QueryService:
     def search(self, query: str, k: int = 10, algorithm: str = "auto"):
         """Single query (blocking)."""
         return ray.get(next(self._rr).search.remote(query, k, algorithm))
+
+    def search_fields(self, matches, k: int = 10, filters=None,
+                      algorithm: str = "exact"):
+        """Fielded bool query (blocking); filters are Keyword/Range/Geo
+        filter objects (they pickle to the worker)."""
+        return ray.get(next(self._rr).search_fields.remote(
+            matches, k, filters, algorithm))
 
     def search_batch(self, queries: list[str], k: int = 10,
                      algorithm: str = "auto") -> list:

@@ -215,3 +215,18 @@ def test_pruned_matches_exact_fielded(fielded_corpus, fielded_index):
         via_param = search_fields(r, matches, k=10, filters=filters,
                                   algorithm="pruned")
         assert via_param == exact
+
+
+def test_service_fielded(fielded_corpus, fielded_index):
+    from deces_dataprep_ray.index.service import QueryService
+
+    df, _ = fielded_corpus
+    r = IndexReader(fielded_index)
+    svc = QueryService(fielded_index, num_workers=2)
+    try:
+        m = [("body", "data spark"), ("title", "window")]
+        f = [KeywordFilter("lang", "en")]
+        assert svc.search_fields(m, k=5, filters=f) == \
+               search_fields(r, m, k=5, filters=f)
+    finally:
+        svc.shutdown()
