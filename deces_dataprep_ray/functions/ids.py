@@ -52,11 +52,24 @@ def term_hash(term: str) -> int:
     return int.from_bytes(h, "big")
 
 
+_TERM_HASH_MEMO: dict[str, int] = {}
+
+
 def term_buckets(terms: np.ndarray, num_buckets: int) -> np.ndarray:
-    """Bucket id per term (uint32). Stable across runs and processes."""
+    """Bucket id per term (uint32). Stable across runs and processes.
+
+    The 64-bit hash is memoized per process: a Zipf vocabulary re-presents
+    the same head terms in every batch, so each worker pays blake2b once per
+    distinct term instead of once per (term, batch)."""
     out = np.empty(len(terms), dtype=np.uint32)
+    memo = _TERM_HASH_MEMO
     b2b = hashlib.blake2b
     for i, t in enumerate(terms):
-        h = b2b(t.encode("utf-8"), digest_size=8).digest()
-        out[i] = int.from_bytes(h, "big") % num_buckets
+        h = memo.get(t)
+        if h is None:
+            h = memo[t] = int.from_bytes(
+                b2b(t.encode("utf-8"), digest_size=8).digest(), "big")
+        out[i] = h % num_buckets
+    if len(memo) > 2_000_000:  # bound worker memory on huge vocabularies
+        memo.clear()
     return out

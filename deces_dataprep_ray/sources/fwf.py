@@ -58,7 +58,8 @@ def parse_fwf_bytes(
     off = 0
     for w, name in zip(widths, names):
         view = np.ascontiguousarray(mat[:, off: off + w]).view(f"S{w}")[:, 0]
-        vals = [v.decode(encoding).rstrip() for v in view]
+        # C-speed decode + strip: np.char kernels instead of a per-cell loop
+        vals = np.char.rstrip(np.char.decode(view, encoding))
         cols[name] = pa.array(vals, pa.string())
         off += w
     cols["source_file"] = pa.array([source] * n, pa.string())
