@@ -102,3 +102,39 @@ def test_verify_detects_corruption(built_index, tmp_path):
     assert any("mismatch" in e for e in report["errors"])
     with pytest.raises(RuntimeError):
         pull_index(dest, str(tmp_path / "restored2"))
+
+
+def test_docvalues_phase_resumes(built_index):
+    # a build interrupted after postings (docvalues phase pending) must
+    # complete ONLY the missing phase on resume, rebuilding the docstore
+    import shutil
+
+    from deces_dataprep_ray.index.build import build_index
+    from deces_dataprep_ray.index.reader import IndexReader
+    from deces_dataprep_ray.state.manifest import Manifest
+
+    idx, _ = built_index
+    r = IndexReader(idx)
+    some = r.resolve_urls(list(r.postings("term1")[0][:3].tolist()))
+    assert some
+
+    man = Manifest.load(idx)
+    postings_stamp = man.phase("postings").get("seconds")
+    del man.doc["phases"]["docvalues"]
+    man.save()
+    shutil.rmtree(os.path.join(idx, "docvalues"))
+
+    # resume needs only the analyzed checkpoint (still on disk) and the same
+    # config; the input list is irrelevant because every earlier phase is
+    # already marked done under the matching input_tag
+    man2 = Manifest.load(idx)
+    assert not man2.phase_done("docvalues")
+    build_index([], idx, num_buckets=8, salt_shards=4, head_min_df=60,
+                batch_size=256,
+                input_tag=man2.doc["config"]["input_tag"])
+    man3 = Manifest.load(idx)
+    assert man3.phase_done("docvalues")
+    # postings untouched (not rebuilt)
+    assert man3.phase("postings").get("seconds") == postings_stamp
+    r2 = IndexReader(idx)
+    assert r2.resolve_urls(list(some.keys())) == some
