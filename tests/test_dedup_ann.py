@@ -275,3 +275,45 @@ def test_all_pairs_cosine_matches_numpy():
     assert set(got_pairs) == set(want)
     for k in want:
         assert abs(got_pairs[k] - want[k]) < 1e-12
+
+
+def test_ngram_pairs_match_bruteforce():
+    # two-pass pipeline == direct computation: LSH candidate (band collision
+    # AND signature-est jaccard >= threshold - margin) AND exact shingle
+    # jaccard >= threshold
+    from deces_dataprep_ray.stages.dedup import (
+        _minhash,
+        _perm_params,
+        _tokenize_shingles,
+        ngram_jaccard_duplicates,
+    )
+
+    ds = _doc_ds()
+    df = ds.to_pandas()
+    nh, nb, thr, margin = 32, 8, 0.5, 0.15
+    rpb = nh // nb
+    a, b = _perm_params(nh)
+    sh = {int(r.doc_id): _tokenize_shingles(r.text) for r in df.itertuples()}
+    sigs = {i: _minhash(s, a, b) for i, s in sh.items()}
+    want = {}
+    ids = sorted(sigs)
+    for x, ia in enumerate(ids):
+        for ib in ids[x + 1:]:
+            sa, sb = sigs[ia], sigs[ib]
+            est = float((sa == sb).mean())
+            collide = any(
+                (sa[bd * rpb: (bd + 1) * rpb] == sb[bd * rpb: (bd + 1) * rpb]).all()
+                for bd in range(nb))
+            if not (collide and est >= thr - margin):
+                continue
+            inter = len(np.intersect1d(sh[ia], sh[ib], assume_unique=True))
+            union = len(sh[ia]) + len(sh[ib]) - inter
+            jac = inter / union if union else 1.0
+            if jac >= thr:
+                want[(ia, ib)] = round(jac, 12)
+    got = ngram_jaccard_duplicates(ds, threshold=thr, num_hashes=nh,
+                                   num_bands=nb,
+                                   candidate_margin=margin).to_pandas()
+    got_pairs = {(int(r.id_a), int(r.id_b)): round(float(r.jaccard), 12)
+                 for r in got.itertuples()}
+    assert got_pairs == want

@@ -79,3 +79,50 @@ def test_round_away_matches_duckdb(vals):
     want = [con.sql(f"select round({v!r}::DOUBLE, 4)").fetchone()[0]
             for v in vals]
     assert np.allclose(got, want, rtol=0, atol=0)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(st.integers(min_value=1, max_value=(1 << 61) - 2), min_size=1,
+             max_size=30),
+    st.lists(st.integers(min_value=0, max_value=(1 << 61) - 2), min_size=1,
+             max_size=30),
+)
+def test_mulmod_m61_matches_python_ints(avals, xvals):
+    from deces_dataprep_ray.stages.dedup import _M61, _mulmod_m61
+
+    a = np.asarray(avals, dtype=np.uint64)
+    x = np.asarray(xvals, dtype=np.uint64)
+    got = _mulmod_m61(a[:, None], x[None, :])
+    for i, ai in enumerate(avals):
+        for j, xj in enumerate(xvals):
+            assert int(got[i, j]) == (ai * xj) % _M61
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.text(max_size=200))
+def test_tokens_never_contain_field_separator(s):
+    # fielded terms are "field:token"; the analyzer must never emit ':'
+    # inside a token, or field routing would be ambiguous
+    for tok in tokenize(s):
+        assert ":" not in tok and tok
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(st.floats(min_value=-90, max_value=90, allow_nan=False),
+             min_size=1, max_size=20),
+    st.lists(st.floats(min_value=-180, max_value=180, allow_nan=False),
+             min_size=1, max_size=20),
+)
+def test_haversine_properties(lats, lons):
+    from deces_dataprep_ray.functions.geo import haversine_km
+
+    n = min(len(lats), len(lons))
+    la = np.asarray(lats[:n]); lo = np.asarray(lons[:n])
+    d_self = haversine_km(la, lo, la, lo)
+    assert np.allclose(d_self, 0.0, atol=1e-6)
+    d_ab = haversine_km(la, lo, 10.0, 20.0)
+    d_ba = haversine_km(np.full(n, 10.0), np.full(n, 20.0), la, lo)
+    assert np.allclose(d_ab, d_ba)          # symmetric
+    assert (d_ab <= 6371.0 * np.pi + 1e-6).all()  # bounded by half meridian
