@@ -73,7 +73,11 @@ def push_index(index_dir: str, dest: str) -> dict:
 
 
 def pull_index(src: str, index_dir: str) -> dict:
-    """Restore a pushed backup into ``index_dir`` and verify it."""
+    """Restore a pushed backup into ``index_dir``.
+
+    The copy is verified IN THE STAGING DIRECTORY before anything replaces
+    ``index_dir`` — restoring a corrupt backup must never destroy a healthy
+    serving index (the tmp copy is removed, the original left untouched)."""
     if not os.path.exists(os.path.join(src, BACKUP_NAME)):
         raise FileNotFoundError(f"{src} is not a pushed backup "
                                 f"(missing {BACKUP_NAME})")
@@ -81,12 +85,14 @@ def pull_index(src: str, index_dir: str) -> dict:
     if os.path.exists(tmp):
         shutil.rmtree(tmp)
     shutil.copytree(src, tmp)
+    report = verify_index(tmp)
+    if not report["ok"]:
+        shutil.rmtree(tmp)
+        raise RuntimeError(f"pulled index failed verification "
+                           f"(existing index untouched): {report}")
     if os.path.exists(index_dir):
         shutil.rmtree(index_dir)
     os.replace(tmp, index_dir)
-    report = verify_index(index_dir)
-    if not report["ok"]:
-        raise RuntimeError(f"pulled index failed verification: {report}")
     return report
 
 

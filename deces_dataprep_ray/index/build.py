@@ -111,21 +111,24 @@ class AnalyzeDocs:
         texts = ["" if t is None else t for t in texts]
         flat_terms, flat_tfs, offsets, dl = analyze_batch(texts, self.folder)
         doc_ids = doc_ids_from_urls(urls)
-        return pa.table(
-            {
-                "doc_id": pa.array(doc_ids, pa.uint64()),
-                "url": pa.array(urls, pa.string()),
-                "dl": pa.array(dl, pa.uint32()),
-                "terms": pa.LargeListArray.from_arrays(
-                    pa.array(offsets, pa.int64()),
-                    pa.array(flat_terms, pa.large_string()),
-                ),
-                "tfs": pa.LargeListArray.from_arrays(
-                    pa.array(offsets, pa.int64()),
-                    pa.array(flat_tfs, pa.uint32()),
-                ),
-            }
-        )
+        cols: dict[str, Any] = {
+            "doc_id": pa.array(doc_ids, pa.uint64()),
+            "url": pa.array(urls, pa.string()),
+            "dl": pa.array(dl, pa.uint32()),
+            "terms": pa.LargeListArray.from_arrays(
+                pa.array(offsets, pa.int64()),
+                pa.array(flat_terms, pa.large_string()),
+            ),
+            "tfs": pa.LargeListArray.from_arrays(
+                pa.array(offsets, pa.int64()),
+                pa.array(flat_tfs, pa.uint32()),
+            ),
+        }
+        # docvalue columns must reach the checkpoint in single-field mode
+        # too — phase E reads them for the docstore
+        for out_name, src_col in self.passthrough:
+            cols[out_name] = batch[src_col]
+        return pa.table(cols)
 
     def _call_fielded(self, batch: pa.Table) -> pa.Table:
         from ..functions.analysis import normalize_keyword

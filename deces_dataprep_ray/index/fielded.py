@@ -134,7 +134,14 @@ def search_fields(
     """Bool query: Σ BM25(field, query) over ``matches``, restricted to docs
     passing every filter. ``exact`` is the exhaustive vectorized oracle;
     ``pruned`` applies the same block-max pruning as the unfielded engine
-    (rank- and score-identical, tested) and is the 10^12-doc serving path."""
+    (rank- and score-identical, tested) and is the 10^12-doc serving path;
+    ``auto`` picks by corpus shape like the unfielded ``search``."""
+    if algorithm == "auto":
+        algorithm = ("exact" if reader.vocabulary_size() < 50_000
+                     else "pruned")
+    if algorithm not in ("exact", "pruned"):
+        raise ValueError(f"unknown fielded algorithm {algorithm!r} "
+                         "(use 'exact', 'pruned' or 'auto')")
     if algorithm == "pruned":
         return search_fields_pruned(reader, matches, k, filters)
     gathered = []  # (n_f, avgdl_f, docs, tfs, dls) in ascending (field, term)

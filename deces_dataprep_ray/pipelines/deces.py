@@ -281,28 +281,13 @@ def _split_lists(t: pa.Table) -> pa.Table:
 
 def _type_geopoints(t: pa.Table) -> pa.Table:
     """Split GEOPOINT_* "lat,lon" strings into <col>_LAT / <col>_LON float64
-    (empty / malformed → null), one vectorized Arrow pass."""
-    import pyarrow.compute as pc
-
-    num_re = r"^\s*-?\d+(\.\d+)?\s*$"
-
-    def _f64(arr):
-        ok = pc.match_substring_regex(pc.fill_null(arr, ""), num_re)
-        return pc.cast(pc.if_else(ok, arr, pa.scalar(None, pa.string())),
-                       pa.float64())
+    (empty / malformed → null) via the shared geo parsing kernel."""
+    from ..functions.geo import parse_latlon_strings
 
     for c in ("GEOPOINT_NAISSANCE", "GEOPOINT_DECES"):
         if c not in t.column_names:
             continue
-        s = pc.fill_null(pc.cast(t[c], pa.string()), "")
-        parts = pc.split_pattern(s, ",")
-        two = pc.equal(pc.list_value_length(parts), 2)
-        safe = pc.if_else(two, parts,
-                          pa.scalar(["", ""], pa.list_(pa.string())))
-        lat = _f64(pc.if_else(two, pc.list_element(safe, 0),
-                              pa.scalar(None, pa.string())))
-        lon = _f64(pc.if_else(two, pc.list_element(safe, 1),
-                              pa.scalar(None, pa.string())))
+        lat, lon = parse_latlon_strings(t[c])
         t = t.append_column(c + "_LAT", lat).append_column(c + "_LON", lon)
     return t
 

@@ -444,6 +444,11 @@ def ngram_jaccard_duplicates(
     need_ref = ray.put(np.unique(np.concatenate(
         [pairs_df["id_a"].to_numpy(), pairs_df["id_b"].to_numpy()])))
 
+    def _key(v):
+        # ids keep their native dtype (int, string, …) — normalize numpy
+        # scalars to python so dict keys match across pandas round-trips
+        return v.item() if hasattr(v, "item") else v
+
     def shingles_for(batch: pa.Table) -> pa.Table:
         need = ray.get(need_ref)
         ids = batch[id_col].to_numpy()
@@ -463,11 +468,11 @@ def ngram_jaccard_duplicates(
         })
 
     sh_tbl = ds.map_batches(shingles_for, batch_format="pyarrow").to_pandas()
-    shmap = {int(i): np.asarray(s, np.uint64)
+    shmap = {_key(i): np.asarray(s, np.uint64)
              for i, s in zip(sh_tbl[id_col], sh_tbl["shingles"])}
     out_a, out_b, out_j = [], [], []
     for ia, ib in zip(pairs_df["id_a"], pairs_df["id_b"]):
-        sa, sb = shmap.get(int(ia)), shmap.get(int(ib))
+        sa, sb = shmap.get(_key(ia)), shmap.get(_key(ib))
         if sa is None or sb is None:
             continue
         inter = len(np.intersect1d(sa, sb, assume_unique=True))

@@ -31,11 +31,13 @@ class ErrorBudget:
         self.n = 0
         self.samples: list[str] = []
 
-    def add(self, k: int, sample: str | None = None) -> int:
+    def add(self, k: int, sample: str | None = None) -> tuple[int, int]:
+        """Returns (total, cap) — the cap lives on the actor so every stage
+        sharing this budget enforces the SAME limit."""
         self.n += int(k)
         if sample is not None and len(self.samples) < self.max_samples:
             self.samples.append(sample[:500])
-        return self.n
+        return self.n, self.max_errors
 
     def total(self) -> int:
         return self.n
@@ -52,8 +54,6 @@ def with_error_budget(
     ds: rd.Dataset,
     fn: Callable[[pa.Table], pa.Table],
     budget,
-    *,
-    max_errors: int = 20,
     **map_batches_kwargs,
 ) -> rd.Dataset:
     """``ds.map_batches(fn)`` with a bad-row budget.
@@ -61,9 +61,10 @@ def with_error_budget(
     ``budget`` is an :class:`ErrorBudget` actor handle (create once per run:
     ``ErrorBudget.remote(max_errors=20)``). A batch that raises is replayed
     row-by-row; failing rows are dropped and counted. Once the global count
-    exceeds ``max_errors`` the stage raises :class:`ErrorBudgetExceeded`,
-    failing the run — the reference's ERR_MAX abort
-    (`Makefile:19,199`), but row-granular and cluster-wide."""
+    exceeds the ACTOR's cap — there is exactly one cap, the one the budget
+    was constructed with, shared by every stage using it — the stage raises
+    :class:`ErrorBudgetExceeded`, failing the run: the reference's ERR_MAX
+    abort (`Makefile:19,199`), but row-granular and cluster-wide."""
 
     def guarded(batch: pa.Table) -> pa.Table:
         try:
@@ -82,10 +83,10 @@ def with_error_budget(
                 bad += 1
                 if first_err is None:
                     first_err = f"{type(e).__name__}: {e}"
-        total = ray.get(budget.add.remote(bad, first_err))
-        if total > max_errors:
+        total, cap = ray.get(budget.add.remote(bad, first_err))
+        if total > cap:
             raise ErrorBudgetExceeded(
-                f"error budget exceeded: {total} bad rows > {max_errors} "
+                f"error budget exceeded: {total} bad rows > {cap} "
                 f"(first: {first_err})")
         if good:
             return pa.concat_tables(good)

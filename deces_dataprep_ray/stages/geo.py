@@ -25,21 +25,12 @@ from ..functions.geo import haversine_km
 
 def parse_geopoint(ds: rd.Dataset, src_col: str, lat_col: str = "lat",
                    lon_col: str = "lon") -> rd.Dataset:
-    """Type a "lat,lon" string column into two float64 columns."""
+    """Type a "lat,lon" string column into two float64 columns
+    (invalid/missing → null; shared kernel, never raises on bad rows)."""
+    from ..functions.geo import parse_latlon_strings
 
     def fx(t: pa.Table) -> pa.Table:
-        parts = pc.split_pattern(
-            pc.replace_substring(t[src_col].cast(pa.string()), " ", ""), ",")
-        first = pc.list_element(parts, 0)
-        lens = pc.list_value_length(parts)
-        two = pc.equal(lens, 2)
-        second = pc.if_else(two, pc.list_element(
-            pc.if_else(two, parts, pa.scalar(["", ""],
-                                             pa.list_(pa.string()))), 1),
-            pa.scalar(None, pa.string()))
-        lat = pc.cast(pc.if_else(two, first, pa.scalar(None, pa.string())),
-                      pa.float64(), safe=False)
-        lon = pc.cast(second, pa.float64(), safe=False)
+        lat, lon = parse_latlon_strings(t[src_col])
         return (t.append_column(lat_col, lat)
                  .append_column(lon_col, lon))
 

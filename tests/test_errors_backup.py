@@ -37,7 +37,7 @@ def test_bad_rows_dropped_within_budget():
     x = np.arange(-3, 97).astype(np.float64)  # 3 poison rows
     ds = rd.from_pandas(pd.DataFrame({"x": x}))
     budget = ErrorBudget.remote(max_errors=20)
-    out = with_error_budget(ds, _make_flaky(), budget, max_errors=20).to_pandas()
+    out = with_error_budget(ds, _make_flaky(), budget).to_pandas()
     assert len(out) == 97
     assert ray.get(budget.total.remote()) == 3
     samples = ray.get(budget.errors.remote())
@@ -49,7 +49,7 @@ def test_budget_exceeded_aborts():
     ds = rd.from_pandas(pd.DataFrame({"x": x}))
     budget = ErrorBudget.remote(max_errors=20)
     with pytest.raises(Exception) as ei:
-        with_error_budget(ds, _make_flaky(), budget, max_errors=20).to_pandas()
+        with_error_budget(ds, _make_flaky(), budget).to_pandas()
     assert "error budget exceeded" in str(ei.value)
 
 
@@ -138,3 +138,64 @@ def test_docvalues_phase_resumes(built_index):
     assert man3.phase("postings").get("seconds") == postings_stamp
     r2 = IndexReader(idx)
     assert r2.resolve_urls(list(some.keys())) == some
+
+
+def test_pull_corrupt_backup_preserves_existing_index(built_index, tmp_path):
+    # restoring a corrupt backup must leave a healthy serving index intact
+    idx, _ = built_index
+    good = str(tmp_path / "serving")
+    dest = str(tmp_path / "backup3")
+    push_index(idx, dest)
+    pull_index(dest, good)  # healthy restore
+
+    # corrupt the backup, then try to pull over the healthy index
+    postings = os.path.join(dest, "postings")
+    victim = next(os.path.join(postings, n, "part.parquet")
+                  for n in sorted(os.listdir(postings))
+                  if n.startswith("bucket="))
+    data = bytearray(open(victim, "rb").read())
+    data[len(data) // 2] ^= 0xFF
+    open(victim, "wb").write(bytes(data))
+    with pytest.raises(RuntimeError):
+        pull_index(dest, good)
+    # the original index still verifies and still answers
+    assert verify_index(good)["ok"]
+    from deces_dataprep_ray.index.query import search_exact
+    from deces_dataprep_ray.index.reader import IndexReader
+
+    assert search_exact(IndexReader(good), "term1", 5)
+
+
+def test_shared_budget_cap_enforced_actor_side():
+    # the cap lives on the actor: a stage cannot silently run with a looser
+    # one (round-2 review finding)
+    x = -np.arange(1, 31).astype(np.float64)
+    ds = rd.from_pandas(pd.DataFrame({"x": x}))
+    budget = ErrorBudget.remote(max_errors=5)
+    with pytest.raises(Exception) as ei:
+        with_error_budget(ds, _make_flaky(), budget).to_pandas()
+    assert "> 5" in str(ei.value)
+
+
+def test_docvalues_only_single_field_build(tmp_path):
+    # docvalue_fields WITHOUT fields/keyword_fields must carry the typed
+    # columns through the single-field analyzer into the docstore
+    import pandas as pd
+
+    from deces_dataprep_ray.index.build import build_index
+    from deces_dataprep_ray.index.reader import IndexReader
+
+    src = str(tmp_path / "src.parquet")
+    pd.DataFrame({
+        "url": [f"doc://{i}" for i in range(20)],
+        "text": [f"alpha beta gamma {i}" for i in range(20)],
+        "nval": np.arange(20, dtype=np.int64) * 3,
+    }).to_parquet(src)
+    idx = str(tmp_path / "idx")
+    build_index(src, idx, docvalue_fields={"nval": "nval"},
+                num_buckets=4, salt_shards=2, head_min_df=1000, batch_size=8)
+    r = IndexReader(idx)
+    from deces_dataprep_ray.index.fielded import RangeFilter
+
+    docs = RangeFilter("nval", 9, 30).doc_ids(r)
+    assert len(docs) == 8  # nval in {9,...,30} step 3

@@ -99,3 +99,19 @@ def test_exec_and_filter_and_pipeline():
     ])
     out = pipe.apply(_ds({"x": [1, 2, 3, 4]})).to_pandas()
     assert out["y"].tolist() == [6, 8]
+
+
+def test_parse_geopoint_malformed_to_null():
+    # shared kernel contract: whitespace tolerated, junk -> null, no raise
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from deces_dataprep_ray.stages.geo import parse_geopoint
+
+    ds = rd.from_pandas(pd.DataFrame({
+        "gp": ["48.85,2.35", "48.85, 2.35", "bad,pair", "", None, "1,2,3"]}))
+    out = parse_geopoint(ds, "gp").to_pandas()
+    lat = out["lat"].tolist()
+    assert lat[0] == 48.85 and lat[1] == 48.85
+    assert all(pd.isna(v) for v in lat[2:])
