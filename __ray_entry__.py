@@ -57,6 +57,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": dq.q_bm25_topk,
         "bm25_and": dq.q_bm25_and,
         "bm25_prefix": dq.q_bm25_prefix,
+        "bm25_fuzzy": dq.q_bm25_fuzzy,
+        "facet_counts": dq.q_facet_counts,
         # fielded index: per-field BM25 + keyword/range/date/geo filters
         "bm25_fielded": dq.q_bm25_fielded,
         "keyword_filter": dq.q_keyword_filter,
@@ -260,6 +262,34 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY tf.doc_id)
             SELECT doc_id, round(score, 6) AS score FROM scores
             ORDER BY round(score, 6) DESC, doc_id LIMIT 10
+        """,
+        "bm25_fuzzy": f"""
+            WITH tok AS (
+                SELECT doc_id, unnest({tok}) AS term FROM documents
+            ),
+            tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+            dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+            stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+            qterms AS (SELECT DISTINCT term FROM tok
+                       WHERE levenshtein(term, 'windoz') <= 1
+                          OR levenshtein(term, 'graup') <= 1),
+            df AS (SELECT tf.term, count(*)::DOUBLE AS df
+                   FROM tf JOIN qterms USING (term) GROUP BY tf.term),
+            scores AS (
+                SELECT tf.doc_id,
+                       sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                            * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
+                       ) AS score
+                FROM tf JOIN df ON tf.term = df.term
+                        JOIN dl ON tf.doc_id = dl.doc_id
+                        CROSS JOIN stats s
+                GROUP BY tf.doc_id)
+            SELECT doc_id, round(score, 6) AS score FROM scores
+            ORDER BY round(score, 6) DESC, doc_id LIMIT 10
+        """,
+        "facet_counts": """
+            SELECT lang AS value, count(*)::BIGINT AS n FROM documents
+            GROUP BY lang ORDER BY n DESC, value
         """,
         # Fielded BM25: per-field idf (field docCount) + per-field length
         # norm (field avgdl). `source` always analyzes to one token, so its

@@ -286,3 +286,29 @@ def search_fields_pruned(
             scores[pos[sel]] += contrib[sel]
     live = scores > 0.0
     return _topk_from_scores(union[live], scores[live], k)
+
+
+def facet_counts(reader: IndexReader, field: str,
+                 top_n: int | None = None) -> list[tuple[str, int]]:
+    """Keyword-field value counts — the ES ``terms`` aggregation.
+
+    A keyword field indexes one ``field:value`` term per doc, so each
+    value's doc count is exactly that term's df: the facet is a prefix scan
+    of the term dictionary (no postings decode, no corpus scan). Returns
+    (value, count) sorted by count desc then value asc, capped at top_n."""
+    import os
+
+    import pyarrow.dataset as pa_ds
+
+    ts_dir = os.path.join(reader.index_dir, "termstats")
+    if not os.path.isdir(ts_dir):
+        return []
+    prefix = field + ":"
+    tbl = pa_ds.dataset(ts_dir).to_table(
+        columns=["term", "df"],
+        filter=pc.starts_with(pc.field("term"), prefix))
+    out = sorted(
+        ((t[len(prefix):], int(d))
+         for t, d in zip(tbl["term"].to_pylist(), tbl["df"].to_numpy())),
+        key=lambda kv: (-kv[1], kv[0]))
+    return out[:top_n] if top_n else out

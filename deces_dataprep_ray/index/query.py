@@ -471,3 +471,88 @@ def search(
     if algorithm == "exact":
         return search_exact(reader, query, k)
     raise ValueError(f"unknown algorithm {algorithm!r}")
+
+
+def _levenshtein_batch(query: str, cands: list[str]) -> np.ndarray:
+    """Classic Levenshtein distance query→each candidate, vectorized over
+    the candidate axis (DP loops over the two string lengths only). Matches
+    DuckDB ``levenshtein`` (no transpositions)."""
+    if not cands:
+        return np.empty(0, np.int32)
+    q = np.frombuffer(query.encode("utf-32-le"), np.uint32)
+    maxlen = max(len(c) for c in cands)
+    mat = np.zeros((len(cands), maxlen), np.uint32)
+    lens = np.empty(len(cands), np.int64)
+    for i, c in enumerate(cands):
+        b = np.frombuffer(c.encode("utf-32-le"), np.uint32)
+        mat[i, : len(b)] = b
+        lens[i] = len(b)
+    # dp[i, j] over candidates i: previous row = distance for query prefix
+    prev = np.broadcast_to(np.arange(maxlen + 1, dtype=np.int32),
+                           (len(cands), maxlen + 1)).copy()
+    for qi in range(1, len(q) + 1):
+        cur = np.empty_like(prev)
+        cur[:, 0] = qi
+        sub = prev[:, :-1] + (mat != q[qi - 1]).astype(np.int32)
+        for j in range(1, maxlen + 1):
+            cur[:, j] = np.minimum(
+                np.minimum(cur[:, j - 1] + 1, prev[:, j] + 1), sub[:, j - 1])
+        prev = cur
+    return prev[np.arange(len(cands)), lens].astype(np.int32)
+
+
+def expand_fuzzy(reader: IndexReader, term: str, max_dist: int = 1,
+                 max_expansions: int = 64) -> list[str]:
+    """Dictionary terms within Levenshtein distance ``max_dist`` of ``term``.
+
+    The reference's matchID raison d'être is typo-tolerant person matching
+    (ES ``fuzziness`` over the same mapping); here the expansion runs over
+    the termstats dictionary with a |len| band prune then one vectorized
+    edit-distance pass. The dictionary loads once per reader (cached) — at
+    web scale this is the in-memory term dictionary every serving node
+    already holds. Cap keeps the largest-df expansions, exact match always
+    kept first."""
+    import os
+
+    import pyarrow.dataset as pa_ds
+
+    cache = getattr(reader, "_vocab_cache", None)
+    if cache is None:
+        ts_dir = os.path.join(reader.index_dir, "termstats")
+        if not os.path.isdir(ts_dir):
+            return []
+        tbl = pa_ds.dataset(ts_dir).to_table(columns=["term", "df"])
+        terms = np.asarray(tbl["term"].to_pylist(), dtype=object)
+        lens = np.fromiter((len(t) for t in terms), np.int64, len(terms))
+        cache = {"terms": terms, "lens": lens,
+                 "dfs": tbl["df"].to_numpy()}
+        reader._vocab_cache = cache
+    terms, lens, dfs = cache["terms"], cache["lens"], cache["dfs"]
+    band = np.flatnonzero(np.abs(lens - len(term)) <= max_dist)
+    if not len(band):
+        return []
+    cands = [terms[i] for i in band]
+    dist = _levenshtein_batch(term, cands)
+    hit = np.flatnonzero(dist <= max_dist)
+    out = [(cands[i], int(dfs[band[i]]), int(dist[i])) for i in hit]
+    if len(out) > max_expansions:
+        # exact match (dist 0) always survives; then largest df
+        out.sort(key=lambda x: (x[2] != 0, -x[1], x[0]))
+        out = out[:max_expansions]
+    return sorted(t for t, _, _ in out)
+
+
+def search_fuzzy(
+    reader: IndexReader, query: str, k: int = 10,
+    max_dist: int = 1, max_expansions: int = 64,
+) -> list[tuple[int, float]]:
+    """Fuzzy match: each query token expands to all dictionary terms within
+    ``max_dist`` edits; the expanded unique term set scores as plain OR
+    BM25 (each expanded term contributes its own idf — same multi-term
+    semantics as prefix search, mirrored by the SQL oracle)."""
+    expanded: set[str] = set()
+    for tok in tokenize(query):
+        expanded.update(expand_fuzzy(reader, tok, max_dist, max_expansions))
+    if not expanded:
+        return []
+    return search_exact(reader, " ".join(sorted(expanded)), k)

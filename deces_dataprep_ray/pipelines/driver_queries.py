@@ -655,6 +655,33 @@ def q_geo_radius(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def q_bm25_fuzzy(sf_dir: str) -> pd.DataFrame:
+    """Fuzzy match (the reference's raison d'être — typo-tolerant matching,
+    ES ``fuzziness``): each token expands to dictionary terms within 1 edit,
+    expanded set scores as OR BM25."""
+    from ..index.query import search_fuzzy
+    from ..index.reader import IndexReader
+
+    reader = IndexReader(_index_for(sf_dir))
+    # uncapped expansion so the SQL oracle (which has no expansion cap)
+    # stays an exact mirror at any sf
+    res = search_fuzzy(reader, "windoz graup", k=200, max_dist=1,
+                       max_expansions=100_000)
+    return _rounded_topk(res, reader)
+
+
+def q_facet_counts(sf_dir: str) -> pd.DataFrame:
+    """Keyword facet (ES terms aggregation): per-value doc counts read
+    straight from the term dictionary's df — no corpus scan."""
+    from ..index.fielded import facet_counts
+    from ..index.reader import IndexReader
+
+    reader = IndexReader(_fielded_index_for(sf_dir))
+    rows = facet_counts(reader, "lang")
+    return pd.DataFrame({"value": [v for v, _ in rows],
+                         "n": pd.array([n for _, n in rows], dtype="int64")})
+
+
 def q_embed_pairs_exact(sf_dir: str) -> pd.DataFrame:
     """Exact all-pairs cosine >= 0.4 over the embeddings table — the
     SQL-checkable baseline the LSH near-dup stage approximates."""

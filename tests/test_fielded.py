@@ -230,3 +230,17 @@ def test_service_fielded(fielded_corpus, fielded_index):
                search_fields(r, m, k=5, filters=f)
     finally:
         svc.shutdown()
+
+
+def test_facet_counts(fielded_corpus, fielded_index):
+    from collections import Counter
+
+    from deces_dataprep_ray.index.fielded import facet_counts
+
+    df, _ = fielded_corpus
+    r = IndexReader(fielded_index)
+    got = facet_counts(r, "lang")
+    want = sorted(Counter(df["lang"]).items(), key=lambda kv: (-kv[1], kv[0]))
+    assert got == want
+    assert facet_counts(r, "lang", top_n=1) == want[:1]
+    assert facet_counts(r, "nonexistent_field") == []

@@ -267,3 +267,35 @@ def test_topk_massive_tie_break(built_index):
     scores = np.ones(50_000)
     got = _topk_from_scores(ids, scores, 5)
     assert got == [(i, 1.0) for i in range(5)]
+
+
+def test_fuzzy_expansion_and_search(built_index, brute_force):
+    from deces_dataprep_ray.index.query import expand_fuzzy, search_fuzzy
+
+    idx, _ = built_index
+    inv, _ = brute_force
+    r = IndexReader(idx)
+
+    def ref_lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                         prev + (ca != cb))
+        return dp[len(b)]
+
+    for q, d in [("term12", 1), ("trm1", 1), ("cafe", 2), ("zzzzzzzz", 1)]:
+        want = sorted(t for t in inv if ref_lev(q, t) <= d)
+        got = expand_fuzzy(r, q, max_dist=d, max_expansions=10**6)
+        assert got == want, (q, d)
+
+    # fuzzy search == OR search over the expanded set
+    expanded = expand_fuzzy(r, "term12", 1, 10**6)
+    assert search_fuzzy(r, "term12", 10, max_dist=1, max_expansions=10**6) \
+        == search_exact(r, " ".join(expanded), 10)
+    # expansion cap keeps the exact match
+    capped = expand_fuzzy(r, "term12", 1, max_expansions=2)
+    assert "term12" in capped and len(capped) <= 2
+
+
