@@ -258,14 +258,12 @@ def minhash_lsh_duplicates(
         ids = g[id_col].to_numpy()
         sig = np.stack([np.asarray(s, dtype=np.uint64) for s in g["minhash"]])
         out_a, out_b, out_j = [], [], []
-        for i in range(len(ids)):
+        for i in range(len(ids) - 1):
             eq = (sig[i + 1:] == sig[i]).mean(axis=1)
-            hit = np.flatnonzero(eq >= threshold)
-            for h in hit:
-                if ids[i] != ids[i + 1 + h]:
-                    out_a.append(ids[i])
-                    out_b.append(ids[i + 1 + h])
-                    out_j.append(float(eq[h]))
+            hit = np.flatnonzero((eq >= threshold) & (ids[i + 1:] != ids[i]))
+            out_a.extend([ids[i]] * len(hit))
+            out_b.extend(ids[i + 1 + hit])
+            out_j.extend(eq[hit])
         return pd.DataFrame({"id_a": out_a, "id_b": out_b, "jaccard": out_j})
 
     pairs = bands.groupby("band_key").map_groups(verify_group, batch_format="pandas")
@@ -386,13 +384,13 @@ def simhash_duplicates(
         out_a, out_b, out_d = [], [], []
         for i in range(len(ids) - 1):
             x = hs[i + 1:] ^ hs[i]
-            d = np.array([bin(int(v)).count("1") for v in x])
-            hit = np.flatnonzero(d <= max_hamming)
-            for hh in hit:
-                if ids[i] != ids[i + 1 + hh]:
-                    out_a.append(ids[i])
-                    out_b.append(ids[i + 1 + hh])
-                    out_d.append(int(d[hh]))
+            # vectorized popcount: bytes → unpackbits → row sums
+            d = np.unpackbits(x.view(np.uint8).reshape(len(x), 8),
+                              axis=1).sum(axis=1)
+            hit = np.flatnonzero((d <= max_hamming) & (ids[i + 1:] != ids[i]))
+            out_a.extend([ids[i]] * len(hit))
+            out_b.extend(ids[i + 1 + hit])
+            out_d.extend(d[hit].astype(int))
         return pd.DataFrame({"id_a": out_a, "id_b": out_b, "hamming": out_d})
 
     pairs = buckets.groupby("bucket").map_groups(verify, batch_format="pandas")
@@ -535,18 +533,17 @@ def embedding_near_duplicates(
         n = np.linalg.norm(m, axis=1, keepdims=True)
         n[n == 0] = 1.0
         sims = (m / n) @ (m / n).T
-        out_a, out_b, out_c = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                # avoid duplicate reporting across probe buckets: require at
-                # least one side at home, and distinct ids
-                if ids[i] == ids[j] or not (home[i] or home[j]):
-                    continue
-                if sims[i, j] >= threshold:
-                    out_a.append(min(ids[i], ids[j]))
-                    out_b.append(max(ids[i], ids[j]))
-                    out_c.append(float(sims[i, j]))
-        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "cosine": out_c})
+        # vectorized pair mask: upper triangle, distinct ids, at least one
+        # side at home (avoids duplicate reporting across probe buckets)
+        ii, jj = np.triu_indices(len(ids), k=1)
+        keep = ((sims[ii, jj] >= threshold) & (ids[ii] != ids[jj])
+                & (home[ii] | home[jj]))
+        ii, jj = ii[keep], jj[keep]
+        return pd.DataFrame({
+            "id_a": np.minimum(ids[ii], ids[jj]),
+            "id_b": np.maximum(ids[ii], ids[jj]),
+            "cosine": sims[ii, jj],
+        })
 
     pairs = bucketed.groupby("bucket").map_groups(verify, batch_format="pandas")
     return _unique_pairs(pairs, "cosine")
