@@ -206,3 +206,36 @@ def decode_block(enc: dict, i: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]
     tfs = vb_decode(enc["tf_bytes"][lo_tf:hi_tf], cnt)
     dls = vb_decode(enc["dl_bytes"][lo_dl:hi_dl], cnt)
     return docs, tfs, dls
+
+
+def encode_positions(flat_pos: np.ndarray, lens: np.ndarray) -> bytes:
+    """Varbyte stream of per-posting token positions.
+
+    ``flat_pos`` concatenates each posting's ascending positions; ``lens``
+    gives the posting boundaries (len i = posting i's occurrence count).
+    Within a posting the first position is absolute and the rest are deltas
+    — decodable with :func:`decode_positions` given the same ``lens``."""
+    if flat_pos.size == 0:
+        return b""
+    v = flat_pos.astype(_U64)
+    d = v.copy()
+    d[1:] -= v[:-1]  # wraps across posting boundaries — overwritten next
+    starts = (np.cumsum(lens) - lens).astype(np.int64)
+    d[starts] = v[starts]
+    return vb_encode(d)
+
+
+def decode_positions(buf: bytes, lens: np.ndarray) -> np.ndarray:
+    """Inverse of :func:`encode_positions`: flat uint32 positions (grouped
+    cumulative sums with a reset at every posting boundary)."""
+    total = int(np.sum(lens))
+    if total == 0:
+        return np.empty(0, np.uint32)
+    vals = vb_decode(buf, total)
+    c = np.cumsum(vals, dtype=np.uint64)
+    starts = (np.cumsum(lens) - lens).astype(np.int64)
+    base = np.zeros(total, np.uint64)
+    nz = starts[starts > 0]
+    base[nz] = c[nz - 1]
+    base = np.maximum.accumulate(base)
+    return (c - base).astype(np.uint32)

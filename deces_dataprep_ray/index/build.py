@@ -53,7 +53,7 @@ import ray.data as rd
 from ray.data.aggregate import Sum
 
 from ..functions.analysis import analyze_batch
-from ..functions.codecs import encode_postings_blocks
+from ..functions.codecs import encode_positions, encode_postings_blocks
 from ..functions.ids import doc_ids_from_urls, term_buckets
 from ..state.manifest import (
     OK_NAME,
@@ -90,7 +90,8 @@ class AnalyzeDocs:
     def __init__(self, url_col: str = "url", text_col: str = "text",
                  fields: dict[str, str] | None = None,
                  keyword_fields: dict[str, str] | None = None,
-                 passthrough: tuple[tuple[str, str], ...] = ()):
+                 passthrough: tuple[tuple[str, str], ...] = (),
+                 store_positions: bool = False):
         from ..functions.analysis import TokenFolder
 
         self.url_col = url_col
@@ -98,6 +99,7 @@ class AnalyzeDocs:
         self.fields = dict(fields) if fields else None
         self.keyword_fields = dict(keyword_fields or {})
         self.passthrough = tuple(passthrough)
+        self.store_positions = store_positions
         self.folder = TokenFolder()  # per-actor fold memo, amortized
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -124,6 +126,9 @@ class AnalyzeDocs:
                 pa.array(flat_tfs, pa.uint32()),
             ),
         }
+        if self.store_positions:
+            cols["tpos"] = _positions_column(
+                texts, self.folder, flat_terms, flat_tfs, offsets)
         # docvalue columns must reach the checkpoint in single-field mode
         # too — phase E reads them for the docstore
         for out_name, src_col in self.passthrough:
@@ -211,6 +216,41 @@ class AnalyzeDocs:
         return pa.table(cols)
 
 
+def _positions_column(texts, folder, flat_terms, flat_tfs, offsets):
+    """Token positions per (doc, term), term-major within each doc, aligned
+    with the checkpoint's flat ``terms``/``tfs`` layout (a posting's
+    positions are the next ``tf`` values of its doc's slice). Positions are
+    0-based indices into the FOLDED token sequence (ES analysis positions).
+    Capped at 255 per posting to stay consistent with the shuffle's uint8
+    tf quantization (occurrences past the 255th add nothing to phrase
+    matching in practice)."""
+    from ..functions.analysis import tokenize_many
+
+    tok_lists = tokenize_many(texts, folder)
+    flat_pos: list[np.ndarray] = []
+    for d, toks in enumerate(tok_lists):
+        by_term: dict[str, list[int]] = {}
+        for i, t in enumerate(toks):
+            by_term.setdefault(t, []).append(i)
+        for ti in range(int(offsets[d]), int(offsets[d + 1])):
+            plist = by_term[flat_terms[ti]][:255]
+            flat_pos.append(np.asarray(plist, np.uint32))
+    # list offsets per DOC (the per-posting split comes from tfs at decode)
+    doc_lens = np.zeros(len(texts), np.int64)
+    pos_iter = 0
+    for d in range(len(texts)):
+        total = 0
+        for ti in range(int(offsets[d]), int(offsets[d + 1])):
+            total += len(flat_pos[pos_iter])
+            pos_iter += 1
+        doc_lens[d] = total
+    off = np.zeros(len(texts) + 1, np.int64)
+    np.cumsum(doc_lens, out=off[1:])
+    flat = (np.concatenate(flat_pos) if flat_pos else np.empty(0, np.uint32))
+    return pa.LargeListArray.from_arrays(
+        pa.array(off, pa.int64()), pa.array(flat, pa.uint32()))
+
+
 # Task-pool variants: Ray reuses warm worker processes across tasks and
 # phases, so per-process module state replaces actor state with zero pool
 # spin-up cost (an actor pool pays one process start + import per actor,
@@ -221,15 +261,18 @@ _ANALYZER_SINGLETON: dict[tuple, AnalyzeDocs] = {}
 def _analyze_docs_fn(batch: pa.Table, url_col: str, text_col: str,
                      fields: tuple | None = None,
                      keyword_fields: tuple = (),
-                     passthrough: tuple = ()) -> pa.Table:
-    key = (url_col, text_col, fields, keyword_fields, passthrough)
+                     passthrough: tuple = (),
+                     store_positions: bool = False) -> pa.Table:
+    key = (url_col, text_col, fields, keyword_fields, passthrough,
+           store_positions)
     inst = _ANALYZER_SINGLETON.get(key)
     if inst is None:
         inst = _ANALYZER_SINGLETON.setdefault(key, AnalyzeDocs(
             url_col, text_col,
             fields=dict(fields) if fields is not None else None,
             keyword_fields=dict(keyword_fields),
-            passthrough=passthrough))
+            passthrough=passthrough,
+            store_positions=store_positions))
     return inst(batch)
 
 
@@ -331,8 +374,17 @@ class EmitPartials:
                       .to_numpy(zero_copy_only=False).astype(np.uint32))
         else:
             dl_rep = np.repeat(tbl["dl"].to_numpy(), lens).astype(np.uint32)
+        with_pos = "tpos" in tbl.column_names
+        if with_pos:
+            # flat token positions, aligned with the flat posting order
+            # (doc-major, term-major within doc); per-posting slice length
+            # is min(tf, 255) — the capped tf the shuffle/bucket stores
+            flat_pos = (tbl["tpos"].combine_chunks().flatten()
+                        .to_numpy(zero_copy_only=False).astype(np.uint32))
+            pos_len = np.minimum(flat_tfs, 255).astype(np.int64)
+            pos_start = np.cumsum(pos_len) - pos_len
         if len(flat_terms) == 0:
-            return _empty_partials()
+            return _empty_partials(with_pos)
 
         import pandas as pd
 
@@ -360,8 +412,10 @@ class EmitPartials:
             if not keep.all():
                 inv, salt, bucket = inv[keep], salt[keep], bucket[keep]
                 doc_rep, dl_rep, flat_tfs = doc_rep[keep], dl_rep[keep], flat_tfs[keep]
+                if with_pos:
+                    pos_len, pos_start = pos_len[keep], pos_start[keep]
             if len(inv) == 0:
-                return _empty_partials()
+                return _empty_partials(with_pos)
 
         # Lucene-style quantization for the shuffle: tf saturates at 255,
         # dl at 65535 (uint8/uint16 instead of uint32 — 31% less exchange
@@ -382,36 +436,49 @@ class EmitPartials:
         row_seg = salt_s[starts].astype(np.int32)
         row_bucket = bucket[order][starts]
         off_arr = pa.array(offsets, pa.int64())
-        return pa.table(
-            {
-                "bucket": pa.array(row_bucket, pa.int64()),
-                "term": pa.array(row_term, pa.large_string()),
-                "seg": pa.array(row_seg, pa.int32()),
-                "docs": pa.LargeListArray.from_arrays(
-                    off_arr, pa.array(doc_rep[order], pa.uint64())
-                ),
-                "tfs": pa.LargeListArray.from_arrays(
-                    off_arr, pa.array(flat_tfs[order], pa.uint8())
-                ),
-                "dls": pa.LargeListArray.from_arrays(
-                    off_arr, pa.array(dl_rep[order], pa.uint16())
-                ),
-            }
-        )
-
-
-def _empty_partials() -> pa.Table:
-    off = pa.array([0], pa.int64())
-    return pa.table(
-        {
-            "bucket": pa.array([], pa.int64()),
-            "term": pa.array([], pa.large_string()),
-            "seg": pa.array([], pa.int32()),
-            "docs": pa.LargeListArray.from_arrays(off, pa.array([], pa.uint64())),
-            "tfs": pa.LargeListArray.from_arrays(off, pa.array([], pa.uint8())),
-            "dls": pa.LargeListArray.from_arrays(off, pa.array([], pa.uint16())),
+        cols = {
+            "bucket": pa.array(row_bucket, pa.int64()),
+            "term": pa.array(row_term, pa.large_string()),
+            "seg": pa.array(row_seg, pa.int32()),
+            "docs": pa.LargeListArray.from_arrays(
+                off_arr, pa.array(doc_rep[order], pa.uint64())
+            ),
+            "tfs": pa.LargeListArray.from_arrays(
+                off_arr, pa.array(flat_tfs[order], pa.uint8())
+            ),
+            "dls": pa.LargeListArray.from_arrays(
+                off_arr, pa.array(dl_rep[order], pa.uint16())
+            ),
         }
-    )
+        if with_pos:
+            # gather each reordered posting's variable-length position slice
+            l_o = pos_len[order]
+            s_o = pos_start[order]
+            ends = np.cumsum(l_o)
+            total = int(ends[-1]) if len(ends) else 0
+            idx = (np.repeat(s_o, l_o)
+                   + np.arange(total) - np.repeat(ends - l_o, l_o))
+            prefix = np.concatenate(([0], ends)).astype(np.int64)
+            cols["poss"] = pa.LargeListArray.from_arrays(
+                pa.array(prefix[offsets], pa.int64()),
+                pa.array(flat_pos[idx], pa.uint32()))
+        return pa.table(cols)
+
+
+def _empty_partials(with_pos: bool = False) -> pa.Table:
+    off = pa.array([0], pa.int64())
+    cols = {
+        "bucket": pa.array([], pa.int64()),
+        "term": pa.array([], pa.large_string()),
+        "seg": pa.array([], pa.int32()),
+        "docs": pa.LargeListArray.from_arrays(off, pa.array([], pa.uint64())),
+        "tfs": pa.LargeListArray.from_arrays(off, pa.array([], pa.uint8())),
+        "dls": pa.LargeListArray.from_arrays(off, pa.array([], pa.uint16())),
+    }
+    if with_pos:
+        cols["poss"] = pa.LargeListArray.from_arrays(
+            off, pa.array([], pa.uint32()))
+    return pa.table(cols)
 
 
 # ---------------------------------------------------------------------------
@@ -436,6 +503,14 @@ BUCKET_SCHEMA = pa.schema(
         ("blk_off_dl", pa.list_(pa.uint32())),
     ]
 )
+
+
+def bucket_schema(with_pos: bool = False) -> pa.Schema:
+    """Bucket layout; positional indexes append a ``pos_bytes`` stream
+    (varbyte of per-posting delta-encoded token positions, split by tf)."""
+    if not with_pos:
+        return BUCKET_SCHEMA
+    return BUCKET_SCHEMA.append(pa.field("pos_bytes", pa.large_binary()))
 
 
 def bm25_weight(
@@ -473,6 +548,13 @@ def build_bucket(
     flat_dls = tbl["dls"].combine_chunks().flatten().to_numpy().astype(np.uint32)
     lens = pc.list_value_length(docs_col).to_numpy().astype(np.int64)
 
+    with_pos = "poss" in tbl.column_names
+    if with_pos:
+        flat_pos_all = (tbl["poss"].combine_chunks().flatten()
+                        .to_numpy(zero_copy_only=False).astype(np.uint32))
+        pos_len = np.minimum(flat_tfs, 255).astype(np.int64)
+        pos_start = np.cumsum(pos_len) - pos_len
+
     terms = tbl["term"].to_numpy(zero_copy_only=False)
     segs = tbl["seg"].to_numpy()
     # factorize (term, seg) at row level, then explode to postings
@@ -496,7 +578,8 @@ def build_bucket(
     starts = np.flatnonzero(change)
     bounds = np.concatenate((starts, [len(key_s)])).astype(np.int64)
 
-    rows: dict[str, list] = {name: [] for name in BUCKET_SCHEMA.names}
+    schema = bucket_schema(with_pos)
+    rows: dict[str, list] = {name: [] for name in schema.names}
     for gi in range(len(starts)):
         lo, hi = bounds[gi], bounds[gi + 1]
         key = key_s[lo]
@@ -523,6 +606,18 @@ def build_bucket(
             f_avgdl = avgdl_map.get(str(term).split(":", 1)[0], avgdl)
             w = bm25_weight(t, l, f_avgdl or 1.0, k1, b)
         enc = encode_postings_blocks(d, t, l, w, block_size=block_size)
+        if with_pos:
+            # gather this group's (possibly dup-filtered) position slices in
+            # sorted-posting order, then delta+varbyte the stream
+            g_idx = order[lo:hi]
+            if keep is not None:
+                g_idx = g_idx[keep]
+            g_lens = pos_len[g_idx]
+            parts = [flat_pos_all[pos_start[i]: pos_start[i] + pos_len[i]]
+                     for i in g_idx]
+            g_flat = (np.concatenate(parts) if parts
+                      else np.empty(0, np.uint32))
+            rows["pos_bytes"].append(encode_positions(g_flat, g_lens))
         rows["term"].append(term)
         rows["seg"].append(seg)
         rows["df"].append(len(d))
@@ -539,8 +634,8 @@ def build_bucket(
         rows["blk_off_dl"].append(enc["blk_off_dl"])
 
     out = pa.table(
-        {name: pa.array(rows[name], BUCKET_SCHEMA.field(name).type)
-         for name in BUCKET_SCHEMA.names}
+        {name: pa.array(rows[name], schema.field(name).type)
+         for name in schema.names}
     )
     # deterministic layout: sort rows by (term, seg) for row-group pruning
     out = out.sort_by([("term", "ascending"), ("seg", "ascending")])
@@ -620,6 +715,7 @@ def build_index(
     k1: float = 1.2,
     b: float = 0.75,
     batch_size: int = 2048,
+    store_positions: bool = False,
     input_tag: str | None = None,
     resume: bool = True,
 ) -> Manifest:
@@ -632,6 +728,10 @@ def build_index(
     the doc_id-sorted docvalues store for range/geo filters and url
     resolution."""
     assert salt_shards & (salt_shards - 1) == 0, "salt_shards must be a power of 2"
+    if store_positions and (fields is not None or keyword_fields):
+        raise NotImplementedError(
+            "positional indexing currently covers single-field indexes; "
+            "fielded + positions is a planned combination")
     if isinstance(source, str):
         paths = [source]
     elif isinstance(source, list):
@@ -651,6 +751,7 @@ def build_index(
         "num_buckets": num_buckets,
         "block_size": block_size,
         "salt_shards": salt_shards,
+        "store_positions": bool(store_positions),
         "head_min_df": head_min_df,
         "head_df_ratio": head_df_ratio,
         "k1": k1,
@@ -706,6 +807,7 @@ def build_index(
                            if fielded else None),
                 "keyword_fields": tuple(sorted((keyword_fields or {}).items())),
                 "passthrough": passthrough,
+                "store_positions": bool(store_positions),
             },
             batch_format="pyarrow",
             batch_size=batch_size,
@@ -850,7 +952,8 @@ def build_index(
     if not man.phase_done("postings"):
         done = done_buckets(index_dir, num_buckets, man.hash) if resume else {}
         head_ref = ray.put(heads)
-        emit_cols = ["doc_id", "dl", "terms", "tfs"] + (["tdls"] if fielded else [])
+        emit_cols = ["doc_id", "dl", "terms", "tfs"] + (["tdls"] if fielded else []) \
+            + (["tpos"] if store_positions else [])
         emit = rd.read_parquet(
             analyzed_dir, columns=emit_cols,
             override_num_blocks=nblocks,
@@ -946,6 +1049,11 @@ def compact_head_segments(index_dir: str) -> int:
     man = Manifest.load(index_dir)
     if man is None:
         raise FileNotFoundError(f"no manifest at {index_dir}")
+    if man.doc["config"].get("store_positions"):
+        raise NotImplementedError(
+            "head compaction does not yet carry position streams — serve "
+            "positional indexes from their salted segments (the scale "
+            "representation) instead of compacting")
     heads = list(man.phase("head_terms")["terms"])
     if not heads:
         man.mark_done("head_compact", terms=0)

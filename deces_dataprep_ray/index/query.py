@@ -556,3 +556,60 @@ def search_fuzzy(
     if not expanded:
         return []
     return search_exact(reader, " ".join(sorted(expanded)), k)
+
+
+def search_phrase(
+    reader: IndexReader, phrase: str, k: int = 10
+) -> list[tuple[int, float]]:
+    """Phrase query (ES ``match_phrase``, slop 0) over a positional index.
+
+    A doc matches iff the analyzed phrase tokens occur at consecutive
+    positions. Scoring semantics (frozen, mirrored by the SQL oracle):
+    matching docs score as the plain BM25 sum of the phrase's UNIQUE terms
+    (same weights as the OR scorers) — simpler than Lucene's phrase-freq
+    scoring, but exactly SQL-checkable."""
+    toks = tokenize(phrase)
+    if not toks:
+        return []
+    data = {}
+    for t in set(toks):
+        docs, tfs, dls, flat, off = reader.postings_with_positions(t)
+        if not len(docs):
+            return []  # a missing term empties the phrase
+        data[t] = (docs, tfs, dls, flat, off)
+
+    inter = data[toks[0]][0]
+    for t in set(toks[1:]):
+        inter = np.intersect1d(inter, data[t][0], assume_unique=True)
+        if not len(inter):
+            return []
+
+    # adjacency check per candidate doc: S holds surviving START positions
+    survivors = []
+    idx = {t: np.searchsorted(data[t][0], inter) for t in set(toks)}
+    for ci in range(len(inter)):
+        t0 = toks[0]
+        d0, _, _, f0, o0 = data[t0]
+        p = idx[t0][ci]
+        S = f0[o0[p]: o0[p + 1]].astype(np.int64)
+        for j, tj in enumerate(toks[1:], 1):
+            dj, _, _, fj, oj = data[tj]
+            pj = idx[tj][ci]
+            pos_j = fj[oj[pj]: oj[pj + 1]].astype(np.int64)
+            S = S[np.isin(S + j, pos_j)]
+            if not len(S):
+                break
+        if len(S):
+            survivors.append(inter[ci])
+    if not survivors:
+        return []
+    surv = np.asarray(survivors, dtype=np.uint64)
+
+    # score = OR-BM25 of the unique phrase terms, restricted to survivors
+    scores = np.zeros(len(surv), dtype=np.float64)
+    for t in sorted(set(toks)):
+        docs, tfs, dls, _, _ = data[t]
+        pos = np.searchsorted(docs, surv)
+        w = bm25_weight(tfs[pos], dls[pos], reader.avgdl, reader.k1, reader.b)
+        scores += idf(reader.n_docs, len(docs)) * w
+    return _topk_from_scores(surv, scores, k)

@@ -123,6 +123,8 @@ class IndexReader:
                     "blk_off_doc": np.asarray(tbl["blk_off_doc"][i].as_py(), dtype=np.uint32),
                     "blk_off_tf": np.asarray(tbl["blk_off_tf"][i].as_py(), dtype=np.uint32),
                     "blk_off_dl": np.asarray(tbl["blk_off_dl"][i].as_py(), dtype=np.uint32),
+                    **({"pos_bytes": tbl["pos_bytes"][i].as_py()}
+                       if "pos_bytes" in tbl.column_names else {}),
                 }
             )
         return rows
@@ -194,6 +196,39 @@ class IndexReader:
             return dict(
                 zip(tbl["doc_id"].to_numpy().tolist(), tbl["url"].to_pylist())
             )
+
+    def postings_with_positions(
+        self, term: str
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        """(doc_ids, tfs, dls, flat_positions, pos_offsets) — posting i's
+        token positions are flat[pos_offsets[i]:pos_offsets[i+1]]. Requires
+        an index built with ``store_positions=True``."""
+        from ..functions.codecs import decode_positions, decode_postings_blocks
+
+        rows = self._term_rows(term)
+        e = np.empty(0, dtype=np.uint64)
+        if not rows:
+            return (e, e.astype(np.uint32), e.astype(np.uint32),
+                    np.empty(0, np.uint32), np.zeros(1, np.int64))
+        if "pos_bytes" not in rows[0]:
+            raise ValueError(
+                "index was built without positions (store_positions=False)")
+        docs_p, tfs_p, dls_p, pos_p = [], [], [], []
+        for r in rows:
+            d, t, l = decode_postings_blocks(r)
+            docs_p.append(d)
+            tfs_p.append(t)
+            dls_p.append(l)
+            pos_p.append(decode_positions(r["pos_bytes"],
+                                          np.minimum(t, 255).astype(np.int64)))
+        docs = np.concatenate(docs_p)
+        tfs = np.concatenate(tfs_p).astype(np.uint32)
+        dls = np.concatenate(dls_p).astype(np.uint32)
+        flat = np.concatenate(pos_p).astype(np.uint32)
+        lens = np.minimum(tfs, 255).astype(np.int64)
+        off = np.zeros(len(docs) + 1, np.int64)
+        np.cumsum(lens, out=off[1:])
+        return docs, tfs, dls, flat, off
 
     def vocabulary_size(self) -> int:
         return int(self.manifest.phase("termstats").get("n_terms", 0))

@@ -655,6 +655,38 @@ def q_geo_radius(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def _positional_index_for(sf_dir: str) -> str:
+    """Positional index over ``documents`` (store_positions=True)."""
+    from ..index.build import build_index
+
+    doc_path = os.path.join(sf_dir, "documents.parquet")
+    tag = hashlib.sha256(
+        f"pos:{doc_path}:{os.path.getsize(doc_path)}".encode()).hexdigest()[:12]
+    index_dir = os.path.join("/tmp", "dcray_index_cache", "pos_" + tag)
+
+    def add_url(t: pa.Table) -> pa.Table:
+        urls = [f"doc://{d}" for d in t["doc_id"].to_pylist()]
+        return pa.table({"url": pa.array(urls, pa.string()), "text": t["text"]})
+
+    ds = rd.read_parquet(doc_path, columns=["doc_id", "text"]).map_batches(
+        add_url, batch_format="pyarrow")
+    build_index(ds, index_dir, num_buckets=8, salt_shards=4, head_min_df=64,
+                store_positions=True, input_tag=tag, batch_size=1024)
+    return index_dir
+
+
+def q_bm25_phrase(sf_dir: str) -> pd.DataFrame:
+    """Phrase query (ES match_phrase, slop 0) over the positional index:
+    docs with 'data' immediately followed by 'spark', scored as the OR BM25
+    of the phrase terms (frozen semantics, mirrored by the SQL oracle)."""
+    from ..index.query import search_phrase
+    from ..index.reader import IndexReader
+
+    reader = IndexReader(_positional_index_for(sf_dir))
+    res = search_phrase(reader, "data spark", k=400)
+    return _rounded_topk(res, reader)
+
+
 def q_bm25_fuzzy(sf_dir: str) -> pd.DataFrame:
     """Fuzzy match (the reference's raison d'être — typo-tolerant matching,
     ES ``fuzziness``): each token expands to dictionary terms within 1 edit,

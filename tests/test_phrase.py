@@ -1,0 +1,106 @@
+"""Positional index + phrase queries vs an independent brute force."""
+
+import shutil
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from deces_dataprep_ray.functions.analysis import tokenize
+from deces_dataprep_ray.functions.ids import doc_id_from_url
+from deces_dataprep_ray.index.build import build_index, compact_head_segments
+from deces_dataprep_ray.index.query import idf, search_phrase
+from deces_dataprep_ray.index.reader import IndexReader
+
+N = 120
+
+
+@pytest.fixture(scope="module")
+def phrase_setup(tmp_path_factory):
+    d = tmp_path_factory.mktemp("phrase")
+    rng = np.random.default_rng(7)
+    vocab = ["data", "spark", "window", "row", "join", "scan", "café"]
+    texts = [" ".join(rng.choice(vocab, rng.integers(4, 15)))
+             for _ in range(N)]
+    texts[3] = "row data spark window join"
+    texts[9] = "data spark data spark scan"
+    texts[11] = "café data spark"
+    df = pd.DataFrame({"url": [f"doc://{i}" for i in range(N)],
+                       "text": texts})
+    src = str(d / "src.parquet")
+    df.to_parquet(src)
+    idx = str(d / "idx")
+    build_index(src, idx, num_buckets=4, salt_shards=2, head_min_df=40,
+                store_positions=True, batch_size=32)
+    return df, idx
+
+
+def _brute_phrase(df, phrase, k=10):
+    toks = tokenize(phrase)
+    docs_tokens = [tokenize(t) for t in df["text"]]
+    dls = [len(dt) for dt in docs_tokens]
+    avg = sum(dls) / len(df)
+    out = []
+    for i, dt in enumerate(docs_tokens):
+        if not any(dt[s: s + len(toks)] == toks
+                   for s in range(len(dt) - len(toks) + 1)):
+            continue
+        sc = 0.0
+        for t in sorted(set(toks)):
+            dfreq = sum(1 for x in docs_tokens if t in x)
+            tf = dt.count(t)
+            sc += idf(len(df), dfreq) * (
+                tf / (tf + 1.2 * (1 - 0.75 + 0.75 * dls[i] / avg)))
+        out.append((doc_id_from_url(df["url"][i]), sc))
+    return sorted(out, key=lambda kv: (-kv[1], kv[0]))[:k]
+
+
+@pytest.mark.parametrize("phrase", [
+    "data spark", "spark data", "data spark window",
+    "row data spark window join", "café data", "window café",
+])
+def test_phrase_matches_bruteforce(phrase_setup, phrase):
+    df, idx = phrase_setup
+    r = IndexReader(idx)
+    got = search_phrase(r, phrase, 10)
+    want = _brute_phrase(df, phrase)
+    assert [(d, round(s, 9)) for d, s in got] == \
+           [(d, round(s, 9)) for d, s in want], phrase
+
+
+def test_phrase_with_head_terms(phrase_setup):
+    # head_min_df=40 makes the hot vocab head-salted: positions must survive
+    # segment routing (each doc's positions live in its doc-range segment)
+    df, idx = phrase_setup
+    r = IndexReader(idx)
+    assert r.head_terms, "fixture should produce salted head terms"
+    head = sorted(r.head_terms)[0]
+    got = search_phrase(r, f"{head} data", 10)
+    want = _brute_phrase(df, f"{head} data")
+    assert [(d, round(s, 9)) for d, s in got] == \
+           [(d, round(s, 9)) for d, s in want]
+
+
+def test_positions_roundtrip_via_reader(phrase_setup):
+    df, idx = phrase_setup
+    r = IndexReader(idx)
+    docs, tfs, dls, flat, off = r.postings_with_positions("data")
+    dids = {doc_id_from_url(u): i for i, u in enumerate(df["url"])}
+    for pi in range(len(docs)):
+        want = [j for j, t in enumerate(tokenize(df["text"][dids[int(docs[pi])]]))
+                if t == "data"]
+        got = flat[off[pi]: off[pi + 1]].tolist()
+        assert got == want
+
+
+def test_non_positional_index_refuses(built_index):
+    idx, _ = built_index
+    r = IndexReader(idx)
+    with pytest.raises(ValueError):
+        r.postings_with_positions("term1")
+
+
+def test_positional_compaction_guarded(phrase_setup):
+    _, idx = phrase_setup
+    with pytest.raises(NotImplementedError):
+        compact_head_segments(idx)

@@ -126,3 +126,22 @@ def test_haversine_properties(lats, lons):
     d_ba = haversine_km(np.full(n, 10.0), np.full(n, 20.0), la, lo)
     assert np.allclose(d_ab, d_ba)          # symmetric
     assert (d_ab <= 6371.0 * np.pi + 1e-6).all()  # bounded by half meridian
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(
+    st.lists(st.integers(min_value=0, max_value=100_000), min_size=1,
+             max_size=40, unique=True),
+    min_size=1, max_size=15,
+))
+def test_position_codec_roundtrip_any(groups):
+    from deces_dataprep_ray.functions.codecs import (
+        decode_positions,
+        encode_positions,
+    )
+
+    groups = [np.sort(np.asarray(g, np.uint32)) for g in groups]
+    lens = np.array([len(g) for g in groups])
+    flat = np.concatenate(groups)
+    got = decode_positions(encode_positions(flat, lens), lens)
+    assert (got == flat).all()
