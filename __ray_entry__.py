@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_prefix": dq.q_bm25_prefix,
         "bm25_fuzzy": dq.q_bm25_fuzzy,
         "bm25_phrase": dq.q_bm25_phrase,
+        "bm25_incremental": dq.q_bm25_incremental,
         "facet_counts": dq.q_facet_counts,
         # fielded index: per-field BM25 + keyword/range/date/geo filters
         "bm25_fielded": dq.q_bm25_fielded,
@@ -250,6 +251,28 @@ def oracle_sql() -> dict[str, str]:
             dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
             stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
             qterms AS (SELECT DISTINCT term FROM tok WHERE term LIKE 's%'),
+            df AS (SELECT tf.term, count(*)::DOUBLE AS df
+                   FROM tf JOIN qterms USING (term) GROUP BY tf.term),
+            scores AS (
+                SELECT tf.doc_id,
+                       sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                            * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
+                       ) AS score
+                FROM tf JOIN df ON tf.term = df.term
+                        JOIN dl ON tf.doc_id = dl.doc_id
+                        CROSS JOIN stats s
+                GROUP BY tf.doc_id)
+            SELECT doc_id, round(score, 6) AS score FROM scores
+            ORDER BY round(score, 6) DESC, doc_id LIMIT 10
+        """,
+        "bm25_incremental": f"""
+            WITH tok AS (
+                SELECT doc_id, unnest({tok}) AS term FROM documents
+            ),
+            tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+            dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+            stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+            qterms(term) AS (VALUES ('data'), ('spark'), ('window')),
             df AS (SELECT tf.term, count(*)::DOUBLE AS df
                    FROM tf JOIN qterms USING (term) GROUP BY tf.term),
             scores AS (

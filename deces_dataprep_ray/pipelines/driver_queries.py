@@ -655,6 +655,49 @@ def q_geo_radius(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def q_bm25_incremental(sf_dir: str) -> pd.DataFrame:
+    """Incremental indexing: documents split into two generations (doc_id
+    parity), each built as its own index; MultiReader serves the union with
+    scores IDENTICAL to a full rebuild — the oracle is the very same
+    relational BM25 over the whole table."""
+    from ..index.build import build_index
+    from ..index.multi import MultiReader
+    from ..index.query import search_exact
+
+    doc_path = os.path.join(sf_dir, "documents.parquet")
+    tag = hashlib.sha256(
+        f"incr:{doc_path}:{os.path.getsize(doc_path)}".encode()).hexdigest()[:12]
+    dirs = []
+    for gen, parity in (("even", 0), ("odd", 1)):
+        index_dir = os.path.join("/tmp", "dcray_index_cache",
+                                 f"incr_{gen}_{tag}")
+        dirs.append(index_dir)
+
+        def gen_rows(t: pa.Table, _p=parity) -> pa.Table:
+            ids = t["doc_id"].to_numpy()
+            t = t.filter(pa.array(ids % 2 == _p))
+            urls = [f"doc://{d}" for d in t["doc_id"].to_pylist()]
+            return pa.table({"url": pa.array(urls, pa.string()),
+                             "text": t["text"]})
+
+        ds = (rd.read_parquet(doc_path, columns=["doc_id", "text"])
+              .map_batches(gen_rows, batch_format="pyarrow"))
+        build_index(ds, index_dir, num_buckets=8, salt_shards=4,
+                    head_min_df=64, input_tag=f"{gen}:{tag}",
+                    batch_size=1024)
+    multi = MultiReader(dirs)
+    res = search_exact(multi, "data spark window", k=200)
+    urls = multi.resolve_urls([d for d, _ in res])
+    out = pd.DataFrame({
+        "orig_id": [int(urls[d].removeprefix("doc://")) for d, _ in res],
+        "score": round_away([s for _, s in res], 6),
+    })
+    out = out.sort_values(["score", "orig_id"],
+                          ascending=[False, True]).head(10)
+    return pd.DataFrame({"doc_id": out["orig_id"].to_numpy(),
+                         "score": out["score"].to_numpy()})
+
+
 def _positional_index_for(sf_dir: str) -> str:
     """Positional index over ``documents`` (store_positions=True)."""
     from ..index.build import build_index

@@ -299,3 +299,50 @@ def test_fuzzy_expansion_and_search(built_index, brute_force):
     assert "term12" in capped and len(capped) <= 2
 
 
+
+
+def test_multireader_equals_full_rebuild(corpus_dir, built_index, tmp_path):
+    # two generation indexes over disjoint halves answer IDENTICALLY to the
+    # single full index (combined N/avgdl/df; weights recomputed at query)
+    import glob
+
+    from deces_dataprep_ray.index.build import build_index
+    from deces_dataprep_ray.index.multi import MultiReader
+
+    paths = sorted(glob.glob(os.path.join(corpus_dir, "*.parquet")))
+    assert len(paths) >= 2
+    mid = len(paths) // 2
+    gens = []
+    for gname, sub in (("g0", paths[:mid]), ("g1", paths[mid:])):
+        idx = str(tmp_path / gname)
+        build_index(sub, idx, num_buckets=8, salt_shards=4, head_min_df=60,
+                    batch_size=256)
+        gens.append(idx)
+    full_idx, _ = built_index
+    full = IndexReader(full_idx)
+    multi = MultiReader(gens)
+    assert multi.n_docs == full.n_docs
+    assert abs(multi.avgdl - full.avgdl) < 1e-9
+    from deces_dataprep_ray.index.query import search_and
+
+    for q in QUERIES[:6]:
+        assert search_exact(multi, q, 10) == search_exact(full, q, 10), q
+        assert search_and(multi, q, 10) == search_and(full, q, 10), q
+    # url resolution spans generations
+    res = search_exact(multi, "term1 term2", 5)
+    urls = multi.resolve_urls([d for d, _ in res])
+    assert len(urls) == len(res)
+
+
+def test_multireader_rejects_mismatched_config(built_index, corpus_dir, tmp_path):
+    import glob
+
+    from deces_dataprep_ray.index.build import build_index
+    from deces_dataprep_ray.index.multi import MultiReader
+
+    idx2 = str(tmp_path / "k1diff")
+    build_index(sorted(glob.glob(os.path.join(corpus_dir, "*.parquet")))[:1],
+                idx2, num_buckets=4, salt_shards=2, head_min_df=60,
+                batch_size=256, k1=2.0)
+    with pytest.raises(ValueError):
+        MultiReader([built_index[0], idx2])
