@@ -111,7 +111,12 @@ class AnalyzeDocs:
         urls = batch[self.url_col].to_pylist()
         texts = batch[self.text_col].to_pylist()
         texts = ["" if t is None else t for t in texts]
-        flat_terms, flat_tfs, offsets, dl = analyze_batch(texts, self.folder)
+        if self.store_positions:
+            flat_terms, flat_tfs, offsets, dl, tpos = \
+                _analyze_with_positions(texts, self.folder)
+        else:
+            flat_terms, flat_tfs, offsets, dl = analyze_batch(
+                texts, self.folder)
         doc_ids = doc_ids_from_urls(urls)
         cols: dict[str, Any] = {
             "doc_id": pa.array(doc_ids, pa.uint64()),
@@ -127,8 +132,7 @@ class AnalyzeDocs:
             ),
         }
         if self.store_positions:
-            cols["tpos"] = _positions_column(
-                texts, self.folder, flat_terms, flat_tfs, offsets)
+            cols["tpos"] = tpos
         # docvalue columns must reach the checkpoint in single-field mode
         # too — phase E reads them for the docstore
         for out_name, src_col in self.passthrough:
@@ -216,39 +220,44 @@ class AnalyzeDocs:
         return pa.table(cols)
 
 
-def _positions_column(texts, folder, flat_terms, flat_tfs, offsets):
-    """Token positions per (doc, term), term-major within each doc, aligned
-    with the checkpoint's flat ``terms``/``tfs`` layout (a posting's
-    positions are the next ``tf`` values of its doc's slice). Positions are
-    0-based indices into the FOLDED token sequence (ES analysis positions).
-    Capped at 255 per posting to stay consistent with the shuffle's uint8
-    tf quantization (occurrences past the 255th add nothing to phrase
-    matching in practice)."""
+def _analyze_with_positions(texts, folder):
+    """Single-pass positional analysis: tokenize once, derive per-doc unique
+    terms, tfs AND 0-based token positions (term-major, first-occurrence
+    term order). Positions are capped at 255 per posting to stay consistent
+    with the shuffle's uint8 tf quantization. Slower than the flat
+    analyze_batch path (per-token Python dict pass) — the documented cost of
+    store_positions=True."""
     from ..functions.analysis import tokenize_many
 
     tok_lists = tokenize_many(texts, folder)
-    flat_pos: list[np.ndarray] = []
+    terms_l: list[str] = []
+    tfs_l: list[int] = []
+    pos_parts: list[list[int]] = []
+    offsets = np.zeros(len(texts) + 1, np.int64)
+    dl = np.zeros(len(texts), np.uint32)
     for d, toks in enumerate(tok_lists):
         by_term: dict[str, list[int]] = {}
         for i, t in enumerate(toks):
             by_term.setdefault(t, []).append(i)
-        for ti in range(int(offsets[d]), int(offsets[d + 1])):
-            plist = by_term[flat_terms[ti]][:255]
-            flat_pos.append(np.asarray(plist, np.uint32))
-    # list offsets per DOC (the per-posting split comes from tfs at decode)
-    doc_lens = np.zeros(len(texts), np.int64)
-    pos_iter = 0
-    for d in range(len(texts)):
-        total = 0
-        for ti in range(int(offsets[d]), int(offsets[d + 1])):
-            total += len(flat_pos[pos_iter])
-            pos_iter += 1
-        doc_lens[d] = total
-    off = np.zeros(len(texts) + 1, np.int64)
-    np.cumsum(doc_lens, out=off[1:])
-    flat = (np.concatenate(flat_pos) if flat_pos else np.empty(0, np.uint32))
-    return pa.LargeListArray.from_arrays(
-        pa.array(off, pa.int64()), pa.array(flat, pa.uint32()))
+        dl[d] = len(toks)
+        for t, plist in by_term.items():
+            terms_l.append(t)
+            tfs_l.append(len(plist))
+            pos_parts.append(plist[:255])
+        offsets[d + 1] = len(terms_l)
+    pos_lens = np.fromiter((len(p) for p in pos_parts), np.int64,
+                           len(pos_parts))
+    doc_pos_lens = np.zeros(len(texts), np.int64)
+    np.add.at(doc_pos_lens,
+              np.repeat(np.arange(len(texts)), np.diff(offsets)), pos_lens)
+    pos_off = np.zeros(len(texts) + 1, np.int64)
+    np.cumsum(doc_pos_lens, out=pos_off[1:])
+    flat = (np.concatenate([np.asarray(p, np.uint32) for p in pos_parts])
+            if pos_parts else np.empty(0, np.uint32))
+    tpos = pa.LargeListArray.from_arrays(
+        pa.array(pos_off, pa.int64()), pa.array(flat, pa.uint32()))
+    return (np.asarray(terms_l, dtype=object),
+            np.asarray(tfs_l, dtype=np.uint32), offsets, dl, tpos)
 
 
 # Task-pool variants: Ray reuses warm worker processes across tasks and

@@ -294,8 +294,11 @@ def facet_counts(reader: IndexReader, field: str,
 
     A keyword field indexes one ``field:value`` term per doc, so each
     value's doc count is exactly that term's df: the facet is a prefix scan
-    of the term dictionary (no postings decode, no corpus scan). Returns
-    (value, count) sorted by count desc then value asc, capped at top_n."""
+    of the term dictionary (no postings decode, no corpus scan). Values are
+    the NORMALIZED keyword terms (ES terms-agg over a normalized keyword
+    field behaves the same — raw variants that normalize identically merge).
+    Returns (value, count) sorted by count desc then value asc, capped at
+    top_n."""
     import os
 
     import pyarrow.dataset as pa_ds
@@ -311,4 +314,4 @@ def facet_counts(reader: IndexReader, field: str,
         ((t[len(prefix):], int(d))
          for t, d in zip(tbl["term"].to_pylist(), tbl["df"].to_numpy())),
         key=lambda kv: (-kv[1], kv[0]))
-    return out[:top_n] if top_n else out
+    return out if top_n is None else out[:top_n]

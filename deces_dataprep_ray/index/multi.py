@@ -34,7 +34,11 @@ class MultiReader:
         cfg0 = self.readers[0].manifest.doc["config"]
         for r in self.readers[1:]:
             cfg = r.manifest.doc["config"]
-            for key in ("analyzer", "k1", "b"):
+            # every key that changes term strings, weights or payload layout
+            # must match — a fielded generation unioned with a single-field
+            # one would silently return partial results
+            for key in ("analyzer", "k1", "b", "fields", "keyword_fields",
+                        "store_positions"):
                 if cfg.get(key) != cfg0.get(key):
                     raise ValueError(
                         f"generation {r.index_dir} differs in {key!r}: "

@@ -205,14 +205,17 @@ class IndexReader:
         an index built with ``store_positions=True``."""
         from ..functions.codecs import decode_positions, decode_postings_blocks
 
+        # guard BEFORE any empty-term early return, so a phrase with an
+        # unknown term still raises on a non-positional index instead of
+        # silently returning nothing
+        if not self.manifest.doc["config"].get("store_positions"):
+            raise ValueError(
+                "index was built without positions (store_positions=False)")
         rows = self._term_rows(term)
         e = np.empty(0, dtype=np.uint64)
         if not rows:
             return (e, e.astype(np.uint32), e.astype(np.uint32),
                     np.empty(0, np.uint32), np.zeros(1, np.int64))
-        if "pos_bytes" not in rows[0]:
-            raise ValueError(
-                "index was built without positions (store_positions=False)")
         docs_p, tfs_p, dls_p, pos_p = [], [], [], []
         for r in rows:
             d, t, l = decode_postings_blocks(r)

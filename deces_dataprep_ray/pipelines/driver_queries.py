@@ -687,15 +687,7 @@ def q_bm25_incremental(sf_dir: str) -> pd.DataFrame:
                     batch_size=1024)
     multi = MultiReader(dirs)
     res = search_exact(multi, "data spark window", k=200)
-    urls = multi.resolve_urls([d for d, _ in res])
-    out = pd.DataFrame({
-        "orig_id": [int(urls[d].removeprefix("doc://")) for d, _ in res],
-        "score": round_away([s for _, s in res], 6),
-    })
-    out = out.sort_values(["score", "orig_id"],
-                          ascending=[False, True]).head(10)
-    return pd.DataFrame({"doc_id": out["orig_id"].to_numpy(),
-                         "score": out["score"].to_numpy()})
+    return _rounded_topk(res, multi)
 
 
 def _positional_index_for(sf_dir: str) -> str:
