@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_prefix": dq.q_bm25_prefix,
         "bm25_fuzzy": dq.q_bm25_fuzzy,
         "bm25_phrase": dq.q_bm25_phrase,
+        "bm25_phrase_slop": dq.q_bm25_phrase_slop,
         "bm25_incremental": dq.q_bm25_incremental,
         "facet_counts": dq.q_facet_counts,
         # fielded index: per-field BM25 + keyword/range/date/geo filters
@@ -286,6 +287,42 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY tf.doc_id)
             SELECT doc_id, round(score, 6) AS score FROM scores
             ORDER BY round(score, 6) DESC, doc_id LIMIT 10
+        """,
+        "bm25_phrase_slop": f"""
+            WITH tokpos AS (
+                SELECT d.doc_id, u.term, u.pos
+                FROM documents d,
+                LATERAL (
+                    SELECT unnest({tok}) AS term,
+                           generate_subscripts({tok}, 1) AS pos
+                ) u
+            ),
+            phrase_docs AS (
+                SELECT DISTINCT p0.doc_id
+                FROM tokpos p0 JOIN tokpos p1
+                  ON p0.doc_id = p1.doc_id
+                 AND p1.pos BETWEEN p0.pos + 1 AND p0.pos + 2
+                WHERE p0.term = 'data' AND p1.term = 'window'
+            ),
+            tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf
+                   FROM tokpos GROUP BY 1, 2),
+            dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tokpos GROUP BY 1),
+            stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+            qterms(term) AS (VALUES ('data'), ('window')),
+            df AS (SELECT tf.term, count(*)::DOUBLE AS df
+                   FROM tf JOIN qterms USING (term) GROUP BY tf.term),
+            scores AS (
+                SELECT tf.doc_id,
+                       sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                            * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
+                       ) AS score
+                FROM tf JOIN df ON tf.term = df.term
+                        JOIN dl ON tf.doc_id = dl.doc_id
+                        CROSS JOIN stats s
+                GROUP BY tf.doc_id)
+            SELECT sc.doc_id, round(sc.score, 6) AS score
+            FROM scores sc JOIN phrase_docs p ON sc.doc_id = p.doc_id
+            ORDER BY round(sc.score, 6) DESC, sc.doc_id LIMIT 10
         """,
         "bm25_phrase": f"""
             WITH tokpos AS (

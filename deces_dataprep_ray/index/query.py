@@ -559,15 +559,16 @@ def search_fuzzy(
 
 
 def search_phrase(
-    reader: IndexReader, phrase: str, k: int = 10
+    reader: IndexReader, phrase: str, k: int = 10, slop: int = 0
 ) -> list[tuple[int, float]]:
-    """Phrase query (ES ``match_phrase``, slop 0) over a positional index.
+    """Phrase query (ES ``match_phrase``) over a positional index.
 
-    A doc matches iff the analyzed phrase tokens occur at consecutive
-    positions. Scoring semantics (frozen, mirrored by the SQL oracle):
-    matching docs score as the plain BM25 sum of the phrase's UNIQUE terms
-    (same weights as the OR scorers) — simpler than Lucene's phrase-freq
-    scoring, but exactly SQL-checkable."""
+    slop=0: tokens at consecutive positions. slop>0 (ordered-slop
+    semantics, frozen here): the tokens appear IN ORDER with at most
+    ``slop`` total extra positions inserted between them (no reordering —
+    simpler than Lucene's move-based slop, and exactly SQL-checkable).
+    Matching docs score as the plain BM25 sum of the phrase's UNIQUE terms
+    (same weights as the OR scorers)."""
     toks = tokenize(phrase)
     if not toks:
         return []
@@ -584,22 +585,33 @@ def search_phrase(
         if not len(inter):
             return []
 
-    # adjacency check per candidate doc: S holds surviving START positions
+    # ordered-slop DP per candidate doc: U[p] = the minimum total gap of any
+    # in-order chain ending with token j at position p; the prefix-min trick
+    # (min over f<p of U_prev[f] - f) makes each step one vectorized pass
     survivors = []
     idx = {t: np.searchsorted(data[t][0], inter) for t in set(toks)}
     for ci in range(len(inter)):
         t0 = toks[0]
-        d0, _, _, f0, o0 = data[t0]
+        _, _, _, f0, o0 = data[t0]
         p = idx[t0][ci]
-        S = f0[o0[p]: o0[p + 1]].astype(np.int64)
-        for j, tj in enumerate(toks[1:], 1):
-            dj, _, _, fj, oj = data[tj]
+        P_prev = f0[o0[p]: o0[p + 1]].astype(np.int64)
+        U_prev = np.zeros(len(P_prev), np.int64)
+        alive = True
+        for tj in toks[1:]:
+            _, _, _, fj, oj = data[tj]
             pj = idx[tj][ci]
-            pos_j = fj[oj[pj]: oj[pj + 1]].astype(np.int64)
-            S = S[np.isin(S + j, pos_j)]
-            if not len(S):
+            P = fj[oj[pj]: oj[pj + 1]].astype(np.int64)
+            G = np.minimum.accumulate(U_prev - P_prev)  # min(U[f] - f), f ≤ ·
+            at = np.searchsorted(P_prev, P, side="left") - 1  # last f < p
+            ok = at >= 0
+            U = np.full(len(P), np.iinfo(np.int64).max, np.int64)
+            U[ok] = P[ok] - 1 + G[at[ok]]
+            keep = U <= slop
+            P_prev, U_prev = P[keep], U[keep]
+            if not len(P_prev):
+                alive = False
                 break
-        if len(S):
+        if alive and len(P_prev):
             survivors.append(inter[ci])
     if not survivors:
         return []

@@ -722,6 +722,17 @@ def q_bm25_phrase(sf_dir: str) -> pd.DataFrame:
     return _rounded_topk(res, reader)
 
 
+def q_bm25_phrase_slop(sf_dir: str) -> pd.DataFrame:
+    """Ordered-slop phrase: 'data window' with at most 1 inserted token
+    (engine DP; oracle: position BETWEEN window)."""
+    from ..index.query import search_phrase
+    from ..index.reader import IndexReader
+
+    reader = IndexReader(_positional_index_for(sf_dir))
+    res = search_phrase(reader, "data window", k=400, slop=1)
+    return _rounded_topk(res, reader)
+
+
 def q_bm25_fuzzy(sf_dir: str) -> pd.DataFrame:
     """Fuzzy match (the reference's raison d'être — typo-tolerant matching,
     ES ``fuzziness``): each token expands to dictionary terms within 1 edit,

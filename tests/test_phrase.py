@@ -104,3 +104,40 @@ def test_positional_compaction_guarded(phrase_setup):
     _, idx = phrase_setup
     with pytest.raises(NotImplementedError):
         compact_head_segments(idx)
+
+
+def _brute_slop_match(dt, toks, slop):
+    # independent DP: best[j] = min cumulative gap for a chain ending with
+    # token j at the current scan position
+    INF = 10**9
+    best_prev = [INF] * len(dt)  # chains of toks[0] ending at index i
+    for i, t in enumerate(dt):
+        if t == toks[0]:
+            best_prev[i] = 0
+    for j in range(1, len(toks)):
+        best = [INF] * len(dt)
+        run = INF  # min over f<i of best_prev[f] - f
+        for i, t in enumerate(dt):
+            if i > 0 and best_prev[i - 1] < INF:
+                run = min(run, best_prev[i - 1] - (i - 1))
+            if t == toks[j] and run < INF:
+                best[i] = i - 1 + run
+        best_prev = best
+    return any(v <= slop for v in best_prev)
+
+
+@pytest.mark.parametrize("phrase,slop", [
+    ("data window", 1), ("data spark", 2), ("row spark join", 3),
+    ("data join", 0),
+])
+def test_phrase_slop_matches_bruteforce(phrase_setup, phrase, slop):
+    from deces_dataprep_ray.index.query import search_phrase
+
+    df, idx = phrase_setup
+    r = IndexReader(idx)
+    got = {d for d, _ in search_phrase(r, phrase, 200, slop=slop)}
+    toks = tokenize(phrase)
+    want = {doc_id_from_url(df["url"][i])
+            for i, t in enumerate(df["text"])
+            if _brute_slop_match(tokenize(t), toks, slop)}
+    assert got == want, (phrase, slop)
