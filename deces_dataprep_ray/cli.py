@@ -69,9 +69,11 @@ def main(argv: list[str] | None = None) -> int:
 
     import ray
 
+    started_ray = False
     if not ray.is_initialized():
         ray.init(address="local", include_dashboard=False,
                  ignore_reinit_error=True, logging_level="ERROR")
+        started_ray = True
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
@@ -136,7 +138,8 @@ def main(argv: list[str] | None = None) -> int:
 
             print(json.dumps(verify_index(args.index)))
     finally:
-        ray.shutdown()
+        if started_ray:  # never tear down a session the caller owns
+            ray.shutdown()
     return 0
 
 

@@ -43,6 +43,16 @@ class _QueryWorker:
         return _sf(self.reader, matches, k, filters=filters,
                    algorithm=algorithm)
 
+    def search_phrase(self, phrase: str, k: int = 10, slop: int = 0):
+        from .query import search_phrase as _sp
+
+        return _sp(self.reader, phrase, k, slop=slop)
+
+    def search_fuzzy(self, query: str, k: int = 10, max_dist: int = 1):
+        from .query import search_fuzzy as _sf
+
+        return _sf(self.reader, query, k, max_dist=max_dist)
+
 
 class QueryService:
     """Round-robin pool of query actors over one index directory."""
@@ -65,6 +75,13 @@ class QueryService:
         filter objects (they pickle to the worker)."""
         return ray.get(next(self._rr).search_fields.remote(
             matches, k, filters, algorithm))
+
+    def search_phrase(self, phrase: str, k: int = 10, slop: int = 0):
+        """Phrase query (positional indexes only)."""
+        return ray.get(next(self._rr).search_phrase.remote(phrase, k, slop))
+
+    def search_fuzzy(self, query: str, k: int = 10, max_dist: int = 1):
+        return ray.get(next(self._rr).search_fuzzy.remote(query, k, max_dist))
 
     def search_batch(self, queries: list[str], k: int = 10,
                      algorithm: str = "auto") -> list:

@@ -19,3 +19,54 @@ def test_service_matches_local(built_index):
         assert batch == [search_pruned(local, q, 10) for q in QUERIES]
     finally:
         svc.shutdown()
+
+
+def test_cli_in_process_keeps_session(built_index, tmp_path, capsys):
+    # the CLI must not tear down a Ray session it didn't start
+    import json
+
+    import ray
+
+    from deces_dataprep_ray.cli import main
+
+    idx, _ = built_index
+    assert main(["query", "--index", idx, "--q", "term1 term2", "-k", "3"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(out) == 3 and "score" in out[0]
+    assert ray.is_initialized(), "CLI shut down the caller's Ray session"
+
+    dest = str(tmp_path / "clibk")
+    assert main(["push", "--index", idx, "--dest", dest]) == 0
+    assert main(["verify", "--index", dest]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["ok"]
+
+
+def test_service_phrase_and_fuzzy(tmp_path):
+    import numpy as np
+    import pandas as pd
+
+    from deces_dataprep_ray.index.build import build_index
+    from deces_dataprep_ray.index.query import search_fuzzy, search_phrase
+    from deces_dataprep_ray.index.reader import IndexReader
+    from deces_dataprep_ray.index.service import QueryService
+
+    rng = np.random.default_rng(3)
+    vocab = ["data", "spark", "window", "scan"]
+    df = pd.DataFrame({
+        "url": [f"doc://{i}" for i in range(40)],
+        "text": [" ".join(rng.choice(vocab, 8)) for _ in range(40)],
+    })
+    src = str(tmp_path / "s.parquet")
+    df.to_parquet(src)
+    idx = str(tmp_path / "i")
+    build_index(src, idx, num_buckets=4, salt_shards=2, head_min_df=1000,
+                store_positions=True, batch_size=16)
+    r = IndexReader(idx)
+    svc = QueryService(idx, num_workers=2)
+    try:
+        assert svc.search_phrase("data spark", 5) == \
+               search_phrase(r, "data spark", 5)
+        assert svc.search_fuzzy("windoz", 5) == search_fuzzy(r, "windoz", 5)
+    finally:
+        svc.shutdown()
