@@ -141,3 +141,38 @@ def test_phrase_slop_matches_bruteforce(phrase_setup, phrase, slop):
             for i, t in enumerate(df["text"])
             if _brute_slop_match(tokenize(t), toks, slop)}
     assert got == want, (phrase, slop)
+
+
+def test_slop_dp_vs_exhaustive_enumeration(phrase_setup):
+    # independent oracle: enumerate ALL in-order index chains and check
+    # min(i_m - i_0 - m) <= slop — no shared DP structure with the engine
+    import itertools
+
+    from deces_dataprep_ray.index.query import search_phrase
+
+    df, idx = phrase_setup
+    r = IndexReader(idx)
+    rng = np.random.default_rng(13)
+    vocab = ["data", "spark", "window", "row", "join", "scan", "café"]
+    for trial in range(12):
+        m = int(rng.integers(2, 4))
+        phrase = " ".join(str(v) for v in rng.choice(vocab, m))
+        toks = tokenize(phrase)  # folded, like the engine analyzes them
+        m = len(toks)
+        slop = int(rng.integers(0, 4))
+        got = {d for d, _ in search_phrase(r, phrase, 500, slop=slop)}
+        want = set()
+        for i, text in enumerate(df["text"]):
+            dt = tokenize(text)
+            pos = [[p for p, t in enumerate(dt) if t == q] for q in toks]
+            if any(not p for p in pos):
+                continue
+            found = False
+            for chain in itertools.product(*pos):
+                if all(chain[j] > chain[j - 1] for j in range(1, m)) \
+                        and chain[-1] - chain[0] - (m - 1) <= slop:
+                    found = True
+                    break
+            if found:
+                want.add(doc_id_from_url(df["url"][i]))
+        assert got == want, (toks, slop)
