@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # fielded index: per-field BM25 + keyword/range/date/geo filters
         "bm25_fielded": dq.q_bm25_fielded,
         "keyword_filter": dq.q_keyword_filter,
+        "keyword_must_not": dq.q_keyword_must_not,
         "range_filter": dq.q_range_filter,
         "date_range": dq.q_date_range,
         "geo_radius": dq.q_geo_radius,
@@ -427,6 +428,30 @@ def oracle_sql() -> dict[str, str]:
                      ON t.doc_id = s2.doc_id)
             SELECT doc_id, round(score, 6) AS score FROM combined
             ORDER BY round(score, 6) DESC, doc_id LIMIT 10
+        """,
+        "keyword_must_not": f"""
+            WITH tok AS (
+                SELECT doc_id, unnest({tok}) AS term FROM documents
+            ),
+            tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+            dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+            stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+            qterms(term) AS (VALUES ('data'), ('spark'), ('window')),
+            df AS (SELECT tf.term, count(*)::DOUBLE AS df
+                   FROM tf JOIN qterms USING (term) GROUP BY tf.term),
+            scores AS (
+                SELECT tf.doc_id,
+                       sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                            * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
+                       ) AS score
+                FROM tf JOIN df ON tf.term = df.term
+                        JOIN dl ON tf.doc_id = dl.doc_id
+                        CROSS JOIN stats s
+                GROUP BY tf.doc_id)
+            SELECT sc.doc_id, round(sc.score, 6) AS score
+            FROM scores sc JOIN documents d ON sc.doc_id = d.doc_id
+            WHERE d.lang != 'de'
+            ORDER BY round(sc.score, 6) DESC, sc.doc_id LIMIT 10
         """,
         "keyword_filter": f"""
             WITH tok AS (

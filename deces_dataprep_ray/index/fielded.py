@@ -51,6 +51,30 @@ class KeywordFilter:
         return docs
 
 
+class NotKeywordFilter:
+    """Keyword exclusion — ES bool ``must_not`` on a keyword term: every doc
+    EXCEPT those holding ``field:value``. The doc universe comes from the
+    docvalues store (one sorted uint64 column scan), the exclusion set from
+    the keyword term's postings; both are sorted, so the complement is one
+    setdiff."""
+
+    def __init__(self, field: str, value: str):
+        self.field = field
+        self.value = value
+
+    def doc_ids(self, reader: IndexReader) -> np.ndarray:
+        from ..functions.analysis import normalize_keyword
+
+        all_docs = np.sort(
+            reader.docstore.scan(columns=["doc_id"])["doc_id"]
+            .to_numpy().astype(np.uint64))
+        norm = normalize_keyword(str(self.value))
+        if not norm:
+            return all_docs
+        excl, _, _ = reader.postings(f"{self.field}:{norm}")
+        return np.setdiff1d(all_docs, excl, assume_unique=True)
+
+
 class RangeFilter:
     """lo <= column <= hi over a typed docvalues column (either bound may be
     None). Matches SQL BETWEEN semantics (inclusive)."""

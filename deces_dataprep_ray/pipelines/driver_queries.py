@@ -604,6 +604,18 @@ def q_keyword_filter(sf_dir: str) -> pd.DataFrame:
     return _fielded_topk(reader, res)
 
 
+def q_keyword_must_not(sf_dir: str) -> pd.DataFrame:
+    """BM25 match + keyword EXCLUSION (ES bool must_not): docs not tagged
+    lang='de'."""
+    from ..index.fielded import NotKeywordFilter, search_fields
+    from ..index.reader import IndexReader
+
+    reader = IndexReader(_fielded_index_for(sf_dir))
+    res = search_fields(reader, [("text", "data spark window")], k=200,
+                        filters=[NotKeywordFilter("lang", "de")])
+    return _fielded_topk(reader, res)
+
+
 def q_range_filter(sf_dir: str) -> pd.DataFrame:
     """BM25 match + numeric range filter over a docvalues column
     (AGE_DECES-shaped ``short`` field, `deces_index.yml:128-129`)."""

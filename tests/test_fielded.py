@@ -244,3 +244,18 @@ def test_facet_counts(fielded_corpus, fielded_index):
     assert got == want
     assert facet_counts(r, "lang", top_n=1) == want[:1]
     assert facet_counts(r, "nonexistent_field") == []
+
+
+def test_not_keyword_filter(fielded_corpus, fielded_index):
+    from deces_dataprep_ray.index.fielded import NotKeywordFilter
+
+    df, _ = fielded_corpus
+    r = IndexReader(fielded_index)
+    got = search_fields(r, [("body", "data spark")], k=10,
+                        filters=[NotKeywordFilter("lang", "fr")])
+    _cmp(got, _brute(df, [("body", "data spark")],
+                     keep=lambda i: df["lang"][i] != "fr"))
+    # excluding a nonexistent value is a no-op
+    got2 = search_fields(r, [("body", "data spark")], k=10,
+                         filters=[NotKeywordFilter("lang", "xx")])
+    _cmp(got2, _brute(df, [("body", "data spark")]))
