@@ -61,6 +61,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_phrase": dq.q_bm25_phrase,
         "bm25_phrase_slop": dq.q_bm25_phrase_slop,
         "bm25_incremental": dq.q_bm25_incremental,
+        "bm25_msm": dq.q_bm25_msm,
+        "bm25_boosted": dq.q_bm25_boosted,
         "facet_counts": dq.q_facet_counts,
         # fielded index: per-field BM25 + keyword/range/date/geo filters
         "bm25_fielded": dq.q_bm25_fielded,
@@ -199,6 +201,29 @@ def oracle_sql() -> dict[str, str]:
                    sum(nt)::BIGINT AS total_dl,
                    round(sum(nt) * 1.0 / count(*), 6) AS avgdl
             FROM (SELECT len({tok}) AS nt FROM documents)
+        """,
+        "bm25_msm": f"""
+            WITH tok AS (
+                SELECT doc_id, unnest({tok}) AS term FROM documents
+            ),
+            tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+            dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+            stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+            qterms(term) AS (VALUES ('data'), ('spark'), ('window')),
+            df AS (SELECT tf.term, count(*)::DOUBLE AS df
+                   FROM tf JOIN qterms USING (term) GROUP BY tf.term),
+            scores AS (
+                SELECT tf.doc_id,
+                       sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                            * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
+                       ) AS score
+                FROM tf JOIN df ON tf.term = df.term
+                        JOIN dl ON tf.doc_id = dl.doc_id
+                        CROSS JOIN stats s
+                GROUP BY tf.doc_id
+                HAVING count(DISTINCT tf.term) >= 2)
+            SELECT doc_id, round(score, 6) AS score FROM scores
+            ORDER BY round(score, 6) DESC, doc_id LIMIT 10
         """,
         "bm25_topk": f"""
             WITH tok AS (
@@ -391,6 +416,68 @@ def oracle_sql() -> dict[str, str]:
         # Fielded BM25: per-field idf (field docCount) + per-field length
         # norm (field avgdl). `source` always analyzes to one token, so its
         # tf = dl = avgdl = 1 (shape-verified by the engine's field stats).
+        "bm25_boosted": f"""
+            WITH tok AS (
+                SELECT doc_id, unnest({tok}) AS term FROM documents
+            ),
+            tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+            dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+            stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+            qterms(term) AS (VALUES ('data'), ('spark'), ('window')),
+            df AS (SELECT tf.term, count(*)::DOUBLE AS df
+                   FROM tf JOIN qterms USING (term) GROUP BY tf.term),
+            tscore AS (
+                SELECT tf.doc_id,
+                       sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                            * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
+                       ) AS score
+                FROM tf JOIN df ON tf.term = df.term
+                        JOIN dl ON tf.doc_id = dl.doc_id
+                        CROSS JOIN stats s
+                GROUP BY tf.doc_id),
+            sn AS (SELECT count(*)::DOUBLE AS n FROM documents
+                   WHERE source IS NOT NULL AND source != ''),
+            sdf AS (SELECT count(*)::DOUBLE AS df FROM documents
+                    WHERE source = 'src3'),
+            sscore AS (
+                SELECT d.doc_id,
+                       ln(1 + (sn.n - sdf.df + 0.5) / (sdf.df + 0.5))
+                       * (1.0 / (1.0 + 1.2 * (1.0 - 0.75 + 0.75 * 1.0 / 1.0)))
+                       AS score
+                FROM documents d CROSS JOIN sn CROSS JOIN sdf
+                WHERE d.source = 'src3'),
+            combined AS (
+                SELECT COALESCE(t.doc_id, s2.doc_id) AS doc_id,
+                       COALESCE(t.score, 0) + 2.5 * COALESCE(s2.score, 0) AS score
+                FROM tscore t FULL OUTER JOIN sscore s2
+                     ON t.doc_id = s2.doc_id)
+            SELECT doc_id, round(score, 6) AS score FROM combined
+            ORDER BY round(score, 6) DESC, doc_id LIMIT 10
+        """,
+        "keyword_must_not": f"""
+            WITH tok AS (
+                SELECT doc_id, unnest({tok}) AS term FROM documents
+            ),
+            tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+            dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+            stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+            qterms(term) AS (VALUES ('data'), ('spark'), ('window')),
+            df AS (SELECT tf.term, count(*)::DOUBLE AS df
+                   FROM tf JOIN qterms USING (term) GROUP BY tf.term),
+            scores AS (
+                SELECT tf.doc_id,
+                       sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                            * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
+                       ) AS score
+                FROM tf JOIN df ON tf.term = df.term
+                        JOIN dl ON tf.doc_id = dl.doc_id
+                        CROSS JOIN stats s
+                GROUP BY tf.doc_id)
+            SELECT sc.doc_id, round(sc.score, 6) AS score
+            FROM scores sc JOIN documents d ON sc.doc_id = d.doc_id
+            WHERE d.lang != 'de'
+            ORDER BY round(sc.score, 6) DESC, sc.doc_id LIMIT 10
+        """,
         "bm25_fielded": f"""
             WITH tok AS (
                 SELECT doc_id, unnest({tok}) AS term FROM documents

@@ -133,18 +133,22 @@ def _resolve_filters(reader: IndexReader, filters) -> np.ndarray | None:
 
 
 def _gather_field_terms(reader: IndexReader, matches) -> list[tuple]:
-    """(n_f, avgdl_f, field:term) per query term, ascending (field, term)."""
+    """(n_f, avgdl_f, field:term, boost) per query term, ascending
+    (field, term). A match clause is (field, query) or (field, query,
+    boost) — the ES ``field^boost`` clause multiplier."""
     from ..functions.analysis import tokenize
 
     out = []
-    for field, query in sorted(matches):
+    for clause in sorted(matches, key=lambda c: (c[0], c[1])):
+        field, query = clause[0], clause[1]
+        boost = float(clause[2]) if len(clause) > 2 else 1.0
         fstats = reader.field_stats.get(field)
         if fstats is None:
             continue
         n_f = int(fstats["n_docs"])
         avgdl_f = float(fstats["avgdl"]) or 1.0
         for tok in sorted(set(tokenize(query))):
-            out.append((n_f, avgdl_f, f"{field}:{tok}"))
+            out.append((n_f, avgdl_f, f"{field}:{tok}", boost))
     return out
 
 
@@ -168,11 +172,11 @@ def search_fields(
                          "(use 'exact', 'pruned' or 'auto')")
     if algorithm == "pruned":
         return search_fields_pruned(reader, matches, k, filters)
-    gathered = []  # (n_f, avgdl_f, docs, tfs, dls) in ascending (field, term)
-    for n_f, avgdl_f, term in _gather_field_terms(reader, matches):
+    gathered = []  # (n_f, avgdl_f, docs, tfs, dls, boost), (field, term) asc
+    for n_f, avgdl_f, term, boost in _gather_field_terms(reader, matches):
         docs, tfs, dls = reader.postings(term)
         if len(docs):
-            gathered.append((n_f, avgdl_f, docs, tfs, dls))
+            gathered.append((n_f, avgdl_f, docs, tfs, dls, boost))
     if not gathered:
         return []
     union = np.unique(np.concatenate([g[2] for g in gathered]))
@@ -184,7 +188,7 @@ def search_fields(
             return []
 
     scores = np.zeros(len(union), dtype=np.float64)
-    for n_f, avgdl_f, docs, tfs, dls in gathered:
+    for n_f, avgdl_f, docs, tfs, dls, boost in gathered:
         pos = np.searchsorted(union, docs)
         ok = (pos < len(union))
         pos_ok = pos[ok]
@@ -193,7 +197,7 @@ def search_fields(
         if not len(sel):
             continue
         w = bm25_weight(tfs[sel], dls[sel], avgdl_f, reader.k1, reader.b)
-        scores[pos[sel]] += idf(n_f, len(docs)) * w
+        scores[pos[sel]] += boost * idf(n_f, len(docs)) * w
     live = scores > 0.0
     return _topk_from_scores(union[live], scores[live], k)
 
@@ -225,12 +229,12 @@ def search_fields_pruned(
         return []
 
     infos = []
-    for n_f, avgdl_f, term in _gather_field_terms(reader, matches):
+    for n_f, avgdl_f, term, boost in _gather_field_terms(reader, matches):
         segs = reader.term_segments(term)
         if not segs:
             continue
         df = sum(r["df"] for r in segs)
-        w_idf = idf(n_f, df)
+        w_idf = boost * idf(n_f, df)  # boost scales idf, so ALL bounds scale
         blk_max = np.concatenate([r["blk_max_w"] for r in segs])
         infos.append({"segs": segs, "idf": w_idf, "avgdl": avgdl_f,
                       "term": term,

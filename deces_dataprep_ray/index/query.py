@@ -625,3 +625,29 @@ def search_phrase(
         w = bm25_weight(tfs[pos], dls[pos], reader.avgdl, reader.k1, reader.b)
         scores += idf(reader.n_docs, len(docs)) * w
     return _topk_from_scores(surv, scores, k)
+
+
+def search_min_should_match(
+    reader: IndexReader, query: str, k: int = 10, min_match: int = 1
+) -> list[tuple[int, float]]:
+    """ES ``match`` with ``minimum_should_match``: only docs containing at
+    least ``min_match`` DISTINCT query terms score (min_match=1 is the OR
+    scorer, min_match=#terms the AND scorer); scores are the same BM25 sums."""
+    terms = analyze_query(query)
+    gathered = []
+    for t in terms:
+        docs, tfs, dls = reader.postings(t)
+        if len(docs):
+            gathered.append((t, docs, tfs, dls))
+    if len(gathered) < min_match:
+        return []
+    union = np.unique(np.concatenate([g[1] for g in gathered]))
+    scores = np.zeros(len(union), dtype=np.float64)
+    hits = np.zeros(len(union), dtype=np.int32)
+    for t, docs, tfs, dls in gathered:  # sorted term order
+        w = bm25_weight(tfs, dls, reader.avgdl, reader.k1, reader.b)
+        pos = np.searchsorted(union, docs)
+        scores[pos] += idf(reader.n_docs, len(docs)) * w
+        hits[pos] += 1
+    keep = hits >= min_match
+    return _topk_from_scores(union[keep], scores[keep], k)

@@ -604,6 +604,29 @@ def q_keyword_filter(sf_dir: str) -> pd.DataFrame:
     return _fielded_topk(reader, res)
 
 
+def q_bm25_msm(sf_dir: str) -> pd.DataFrame:
+    """ES minimum_should_match: docs containing >= 2 of the 3 query terms."""
+    from ..index.query import search_min_should_match
+    from ..index.reader import IndexReader
+
+    reader = IndexReader(_index_for(sf_dir))
+    res = search_min_should_match(reader, "data spark window", k=200,
+                                  min_match=2)
+    return _rounded_topk(res, reader)
+
+
+def q_bm25_boosted(sf_dir: str) -> pd.DataFrame:
+    """Per-clause boosts (ES field^boost): text clause x1 + source clause
+    x2.5 summed."""
+    from ..index.fielded import search_fields
+    from ..index.reader import IndexReader
+
+    reader = IndexReader(_fielded_index_for(sf_dir))
+    res = search_fields(reader, [("text", "data spark window", 1.0),
+                                 ("source", "src3", 2.5)], k=200)
+    return _fielded_topk(reader, res)
+
+
 def q_keyword_must_not(sf_dir: str) -> pd.DataFrame:
     """BM25 match + keyword EXCLUSION (ES bool must_not): docs not tagged
     lang='de'."""

@@ -259,3 +259,25 @@ def test_not_keyword_filter(fielded_corpus, fielded_index):
     got2 = search_fields(r, [("body", "data spark")], k=10,
                          filters=[NotKeywordFilter("lang", "xx")])
     _cmp(got2, _brute(df, [("body", "data spark")]))
+
+
+def test_boosted_clauses(fielded_corpus, fielded_index):
+    from deces_dataprep_ray.index.fielded import search_fields_pruned
+
+    df, _ = fielded_corpus
+    r = IndexReader(fielded_index)
+    m = [("body", "data spark", 2.0), ("title", "window", 0.5)]
+    got = search_fields(r, m, k=10)
+    # brute with per-clause boost: scale each clause's contributions
+    base_b = _brute(df, [("body", "data spark")], k=10**6)
+    base_t = _brute(df, [("title", "window")], k=10**6)
+    agg: dict[int, float] = {}
+    for d, s in base_b:
+        agg[d] = agg.get(d, 0.0) + 2.0 * s
+    for d, s in base_t:
+        agg[d] = agg.get(d, 0.0) + 0.5 * s
+    want = sorted(agg.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert [(d, round(s, 9)) for d, s in got] == \
+           [(d, round(s, 9)) for d, s in want]
+    # pruned path scales identically
+    assert search_fields_pruned(r, m, k=10) == got

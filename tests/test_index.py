@@ -346,3 +346,26 @@ def test_multireader_rejects_mismatched_config(built_index, corpus_dir, tmp_path
                 batch_size=256, k1=2.0)
     with pytest.raises(ValueError):
         MultiReader([built_index[0], idx2])
+
+
+def test_min_should_match(built_index, brute_force):
+    from deces_dataprep_ray.index.query import (
+        search_and,
+        search_min_should_match,
+    )
+
+    idx, _ = built_index
+    inv, dls = brute_force
+    r = IndexReader(idx)
+    q = "term1 term2 term3"
+    # msm=1 == OR; msm=#terms == AND; msm in between checked vs brute force
+    assert search_min_should_match(r, q, 10, 1) == search_exact(r, q, 10)
+    assert search_min_should_match(r, q, 10, 3) == search_and(r, q, 10)
+    got = search_min_should_match(r, q, 10, 2)
+    full = dict(brute_topk(inv, dls, q, 10**9))
+    terms = ["term1", "term2", "term3"]
+    want = sorted(((d, s) for d, s in full.items()
+                   if sum(1 for t in terms if d in inv.get(t, {})) >= 2),
+                  key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert [(d, round(s, 9)) for d, s in got] == \
+           [(d, round(s, 9)) for d, s in want]
