@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_fuzzy": dq.q_bm25_fuzzy,
         "bm25_phrase": dq.q_bm25_phrase,
         "bm25_phrase_slop": dq.q_bm25_phrase_slop,
+        "bm25_phrase_fielded": dq.q_bm25_phrase_fielded,
         "bm25_incremental": dq.q_bm25_incremental,
         "bm25_msm": dq.q_bm25_msm,
         "bm25_boosted": dq.q_bm25_boosted,
@@ -78,12 +79,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": dq.q_langid,
         "ann_cosine": dq.q_ann_cosine,
         "embed_pairs_exact": dq.q_embed_pairs_exact,
+        # exact-verified near-dup: LSH candidates + exact 5-gram jaccard,
+        # SQL-checked (candidate recall ≥ 1 - 6e-7 at the gate's params)
+        "ngram_dedup": dq.q_ngram_dedup,
         # rows-only (non-SQL-expressible: sketches / LSH; brute-force
         # oracles for these live in tests/test_dedup_ann.py)
         "minhash_pairs": dq.q_minhash_pairs,
         "simhash_pairs": dq.q_simhash_pairs,
         "ann_lsh": dq.q_ann_lsh,
-        "ngram_dedup": dq.q_ngram_dedup,
         "embed_dedup": dq.q_embed_dedup,
     }
 
@@ -385,6 +388,45 @@ def oracle_sql() -> dict[str, str]:
             FROM scores sc JOIN phrase_docs p ON sc.doc_id = p.doc_id
             ORDER BY round(sc.score, 6) DESC, sc.doc_id LIMIT 10
         """,
+        # Fielded phrase: positions and stats are per-field. The `text`
+        # field's docCount/avgdl equal this CTE's n/avgdl because the dl CTE
+        # only counts docs with >= 1 token — exactly the engine's
+        # "docs with dl__text > 0" field stat.
+        "bm25_phrase_fielded": f"""
+            WITH tokpos AS (
+                SELECT d.doc_id, u.term, u.pos
+                FROM documents d,
+                LATERAL (
+                    SELECT unnest({tok}) AS term,
+                           generate_subscripts({tok}, 1) AS pos
+                ) u
+            ),
+            phrase_docs AS (
+                SELECT DISTINCT p0.doc_id
+                FROM tokpos p0 JOIN tokpos p1
+                  ON p0.doc_id = p1.doc_id AND p1.pos = p0.pos + 1
+                WHERE p0.term = 'data' AND p1.term = 'window'
+            ),
+            tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf
+                   FROM tokpos GROUP BY 1, 2),
+            dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tokpos GROUP BY 1),
+            stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+            qterms(term) AS (VALUES ('data'), ('window')),
+            df AS (SELECT tf.term, count(*)::DOUBLE AS df
+                   FROM tf JOIN qterms USING (term) GROUP BY tf.term),
+            scores AS (
+                SELECT tf.doc_id,
+                       sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                            * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
+                       ) AS score
+                FROM tf JOIN df ON tf.term = df.term
+                        JOIN dl ON tf.doc_id = dl.doc_id
+                        CROSS JOIN stats s
+                GROUP BY tf.doc_id)
+            SELECT sc.doc_id, round(sc.score, 6) AS score
+            FROM scores sc JOIN phrase_docs p ON sc.doc_id = p.doc_id
+            ORDER BY round(sc.score, 6) DESC, sc.doc_id LIMIT 10
+        """,
         "bm25_fuzzy": f"""
             WITH tok AS (
                 SELECT doc_id, unnest({tok}) AS term FROM documents
@@ -515,30 +557,6 @@ def oracle_sql() -> dict[str, str]:
                      ON t.doc_id = s2.doc_id)
             SELECT doc_id, round(score, 6) AS score FROM combined
             ORDER BY round(score, 6) DESC, doc_id LIMIT 10
-        """,
-        "keyword_must_not": f"""
-            WITH tok AS (
-                SELECT doc_id, unnest({tok}) AS term FROM documents
-            ),
-            tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
-            dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
-            stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
-            qterms(term) AS (VALUES ('data'), ('spark'), ('window')),
-            df AS (SELECT tf.term, count(*)::DOUBLE AS df
-                   FROM tf JOIN qterms USING (term) GROUP BY tf.term),
-            scores AS (
-                SELECT tf.doc_id,
-                       sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
-                            * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
-                       ) AS score
-                FROM tf JOIN df ON tf.term = df.term
-                        JOIN dl ON tf.doc_id = dl.doc_id
-                        CROSS JOIN stats s
-                GROUP BY tf.doc_id)
-            SELECT sc.doc_id, round(sc.score, 6) AS score
-            FROM scores sc JOIN documents d ON sc.doc_id = d.doc_id
-            WHERE d.lang != 'de'
-            ORDER BY round(sc.score, 6) DESC, sc.doc_id LIMIT 10
         """,
         "keyword_filter": f"""
             WITH tok AS (
@@ -679,6 +697,30 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'fr' END AS lang_pred,
                    round(greatest(s_de, s_en, s_es, s_fr), 6) AS lang_score
             FROM s ORDER BY doc_id
+        """,
+        # Exact character-5-gram Jaccard near-dup pairs. The length-ratio
+        # prefilter is pure pruning: j >= t implies min(|A|,|B|)/max >= t.
+        # Engine-side the gram SETS are 64-bit polynomial hashes
+        # (collision-free at this scale, verified equal-valued vs this SQL
+        # at sf0.001/sf0.01); short texts pad to one 5-char gram, mirrored
+        # by greatest(len-3, 2).
+        "ngram_dedup": """
+            WITH g AS (
+              SELECT doc_id,
+                     list_distinct([substring(text, i, 5)
+                         for i in range(1, greatest(length(text) - 3, 2))])
+                     AS grams
+              FROM documents)
+            SELECT id_a, id_b, round(j, 6) AS jaccard FROM (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       len(list_intersect(a.grams, b.grams)) * 1.0 /
+                       (len(a.grams) + len(b.grams)
+                        - len(list_intersect(a.grams, b.grams))) AS j
+                FROM g a JOIN g b ON a.doc_id < b.doc_id
+                WHERE len(a.grams) * 1.0 >= 0.6 * len(b.grams)
+                  AND len(b.grams) * 1.0 >= 0.6 * len(a.grams))
+            WHERE j >= 0.6
+            ORDER BY id_a, id_b
         """,
         "embed_pairs_exact": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,

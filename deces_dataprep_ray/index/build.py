@@ -85,6 +85,12 @@ class AnalyzeDocs:
     one ``dl__<field>`` uint32 column per field (feeds the per-field
     n_docs/avgdl stats pass). ``passthrough`` columns are copied unchanged
     into the checkpoint for the docvalues store (typed range/geo filters).
+
+    ``store_positions`` composes with both modes: in fielded mode each
+    analyzed field's positions are 0-based within THAT field's token stream
+    (phrase queries are per-field — the reference's mapping is all-fielded,
+    `deces_index.yml:42-157`, so match_phrase-on-NOM needs exactly this),
+    and a keyword field's single term sits at position 0.
     """
 
     def __init__(self, url_col: str = "url", text_col: str = "text",
@@ -151,13 +157,21 @@ class AnalyzeDocs:
         term_parts: list[pa.Array] = []
         tf_parts: list[np.ndarray] = []
         tdl_parts: list[np.ndarray] = []
+        pos_parts: list[np.ndarray] = []  # per-posting flat position slices
         dl_cols: dict[str, np.ndarray] = {}
         total_dl = np.zeros(n, np.int64)
 
         for f in sorted(self.fields or {}):
             texts = batch[self.fields[f]].to_pylist()
             texts = ["" if t is None else str(t) for t in texts]
-            ft, ftf, off, dl = analyze_batch(texts, self.folder)
+            if self.store_positions:
+                # positions are 0-based within the FIELD's own token stream
+                ft, ftf, off, dl, tp = _analyze_with_positions(
+                    texts, self.folder)
+                pos_parts.append(tp.flatten().to_numpy(
+                    zero_copy_only=False).astype(np.uint32))
+            else:
+                ft, ftf, off, dl = analyze_batch(texts, self.folder)
             lens = np.diff(off)
             di = np.repeat(np.arange(n, dtype=np.int64), lens)
             doc_idx_parts.append(di)
@@ -183,6 +197,9 @@ class AnalyzeDocs:
                                        pa.large_string()))
             tf_parts.append(np.ones(len(di), np.uint32))
             tdl_parts.append(np.ones(len(di), np.uint32))
+            if self.store_positions:
+                # a keyword field is one unanalyzed term at position 0
+                pos_parts.append(np.zeros(len(di), np.uint32))
             has = np.zeros(n, np.uint32)
             has[di] = 1
             dl_cols[f] = has
@@ -194,8 +211,9 @@ class AnalyzeDocs:
             [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
              for a in term_parts]).take(pa.array(order, pa.int64()))
             if term_parts else empty_str)
-        tfs_flat = (np.concatenate(tf_parts)[order] if tf_parts
-                    else np.empty(0, np.uint32))
+        tfs_pre = (np.concatenate(tf_parts) if tf_parts
+                   else np.empty(0, np.uint32))
+        tfs_flat = tfs_pre[order]
         tdls_flat = (np.concatenate(tdl_parts)[order] if tdl_parts
                      else np.empty(0, np.uint32))
         offsets = np.searchsorted(doc_idx[order],
@@ -213,6 +231,24 @@ class AnalyzeDocs:
             "tdls": pa.LargeListArray.from_arrays(
                 off_arr, pa.array(tdls_flat, pa.uint32())),
         }
+        if self.store_positions:
+            # gather each posting's variable-length position slice into the
+            # reordered (doc-major) posting order, exactly the single-field
+            # checkpoint layout: per-posting slice length = min(tf, 255)
+            flat_pos_all = (np.concatenate(pos_parts) if pos_parts
+                            else np.empty(0, np.uint32))
+            lens_pre = np.minimum(tfs_pre, 255).astype(np.int64)
+            starts_pre = np.cumsum(lens_pre) - lens_pre
+            l_o = lens_pre[order]
+            s_o = starts_pre[order]
+            ends = np.cumsum(l_o)
+            total = int(ends[-1]) if len(ends) else 0
+            idx = (np.repeat(s_o, l_o)
+                   + np.arange(total) - np.repeat(ends - l_o, l_o))
+            pos_prefix = np.concatenate(([0], ends)).astype(np.int64)
+            cols["tpos"] = pa.LargeListArray.from_arrays(
+                pa.array(pos_prefix[offsets], pa.int64()),
+                pa.array(flat_pos_all[idx], pa.uint32()))
         for f, dlc in sorted(dl_cols.items()):
             cols["dl__" + f] = pa.array(dlc, pa.uint32())
         for out_name, src_col in self.passthrough:
@@ -737,10 +773,24 @@ def build_index(
     the doc_id-sorted docvalues store for range/geo filters and url
     resolution."""
     assert salt_shards & (salt_shards - 1) == 0, "salt_shards must be a power of 2"
-    if store_positions and (fields is not None or keyword_fields):
-        raise NotImplementedError(
-            "positional indexing currently covers single-field indexes; "
-            "fielded + positions is a planned combination")
+    # Config validation: the checkpoint's core columns and the `field:term`
+    # routing scheme are easy to corrupt silently with a colliding name.
+    _RESERVED = {"doc_id", "url", "dl", "terms", "tfs", "tdls", "tpos"}
+    for name in (docvalue_fields or {}):
+        if name in _RESERVED or name.startswith("dl__"):
+            raise ValueError(
+                f"docvalue_fields name {name!r} collides with a reserved "
+                f"checkpoint column ({sorted(_RESERVED)} / 'dl__<field>')")
+    overlap = set(fields or {}) & set(keyword_fields or {})
+    if overlap:
+        raise ValueError(
+            f"fields and keyword_fields must be disjoint; both define "
+            f"{sorted(overlap)}")
+    for name in list(fields or {}) + list(keyword_fields or {}):
+        if ":" in name:
+            raise ValueError(
+                f"field name {name!r} must not contain ':' (it is the "
+                "field:term routing separator)")
     if isinstance(source, str):
         paths = [source]
     elif isinstance(source, list):
@@ -886,10 +936,22 @@ def build_index(
             if f.endswith(".parquet")
         )
         if n_docs:
-            import pyarrow.dataset as pa_dataset
+            # distributed map-side reduce over the uint32 dl column — never
+            # pull the per-doc column into the driver (at 10^12 docs that
+            # column is terabytes); each batch ships ONE partial-sum row
+            # (Dataset.sum's Aggregate operator pays an all-to-all it
+            # doesn't need for a global scalar — measured 5.6 s fixed cost)
+            def _dl_partial(t: pa.Table) -> pa.Table:
+                return pa.table(
+                    {"s": pa.array([int(pc.sum(t["dl"]).as_py() or 0)],
+                                   pa.int64())})
 
-            dl_tbl = pa_dataset.dataset(analyzed_dir).to_table(columns=["dl"])
-            total_dl = int(pc.sum(dl_tbl["dl"]).as_py() or 0)
+            parts = (rd.read_parquet(analyzed_dir, columns=["dl"],
+                                     override_num_blocks=nblocks)
+                     .map_batches(_dl_partial, batch_format="pyarrow",
+                                  batch_size=batch_size * 4)
+                     .to_pandas())  # one int64 row per batch
+            total_dl = int(parts["s"].sum())
         else:
             total_dl = 0
         avgdl = (total_dl / n_docs) if n_docs else 0.0

@@ -53,26 +53,27 @@ class KeywordFilter:
 
 class NotKeywordFilter:
     """Keyword exclusion — ES bool ``must_not`` on a keyword term: every doc
-    EXCEPT those holding ``field:value``. The doc universe comes from the
-    docvalues store (one sorted uint64 column scan), the exclusion set from
-    the keyword term's postings; both are sorted, so the complement is one
-    setdiff."""
+    EXCEPT those holding ``field:value``. Evaluated LAZILY: the exclusion
+    term's postings (sorted doc_ids) are dropped from the scored doc set by
+    sorted-membership test — the doc universe never materializes (an
+    O(corpus) docvalues scan per query would contradict the serving posture
+    at 10^12 docs)."""
+
+    negative = True
 
     def __init__(self, field: str, value: str):
         self.field = field
         self.value = value
 
-    def doc_ids(self, reader: IndexReader) -> np.ndarray:
+    def exclude_ids(self, reader: IndexReader) -> np.ndarray:
+        """Sorted doc_ids holding the excluded keyword term (possibly empty)."""
         from ..functions.analysis import normalize_keyword
 
-        all_docs = np.sort(
-            reader.docstore.scan(columns=["doc_id"])["doc_id"]
-            .to_numpy().astype(np.uint64))
         norm = normalize_keyword(str(self.value))
         if not norm:
-            return all_docs
+            return np.empty(0, np.uint64)
         excl, _, _ = reader.postings(f"{self.field}:{norm}")
-        return np.setdiff1d(all_docs, excl, assume_unique=True)
+        return excl
 
 
 class RangeFilter:
@@ -118,18 +119,40 @@ class GeoRadiusFilter:
         return np.sort(ids[d <= self.radius_km])
 
 
-def _resolve_filters(reader: IndexReader, filters) -> np.ndarray | None:
-    """Intersect every filter's doc set; None = no filters, empty = no hits."""
+def _resolve_filters(
+    reader: IndexReader, filters
+) -> tuple[np.ndarray | None, np.ndarray | None]:
+    """(allow, exclude): positive filters intersect into ``allow`` (None =
+    unrestricted, empty = no hits); negative filters (``must_not``) union
+    into ``exclude`` (None = nothing excluded). Exclusion stays a lazy
+    sorted-membership drop on the scored docs — never a universe scan."""
     if not filters:
-        return None
+        return None, None
     allow = None
+    exclude = None
     for flt in filters:
+        if getattr(flt, "negative", False):
+            ids = flt.exclude_ids(reader)
+            exclude = ids if exclude is None else np.union1d(exclude, ids)
+            continue
         ids = flt.doc_ids(reader)
         allow = ids if allow is None else np.intersect1d(
             allow, ids, assume_unique=True)
         if not len(allow):
             break
-    return allow
+    return allow, exclude
+
+
+def _filter_mask(docs: np.ndarray, allow: np.ndarray | None,
+                 exclude: np.ndarray | None) -> np.ndarray | None:
+    """Boolean keep-mask over ``docs`` for (allow, exclude); None = keep all."""
+    mask = None
+    if allow is not None:
+        mask = np.isin(docs, allow)
+    if exclude is not None and len(exclude):
+        drop = np.isin(docs, exclude)
+        mask = ~drop if mask is None else mask & ~drop
+    return mask
 
 
 def _gather_field_terms(reader: IndexReader, matches) -> list[tuple]:
@@ -181,9 +204,10 @@ def search_fields(
         return []
     union = np.unique(np.concatenate([g[2] for g in gathered]))
 
-    allow = _resolve_filters(reader, filters)
-    if allow is not None:
-        union = union[np.isin(union, allow)]
+    allow, exclude = _resolve_filters(reader, filters)
+    mask = _filter_mask(union, allow, exclude)
+    if mask is not None:
+        union = union[mask]
         if not len(union):
             return []
 
@@ -211,20 +235,20 @@ def search_fields_pruned(
     """Block-max pruned fielded scorer — rank/score-identical to the exact
     path (same float64 accumulation over the surviving postings).
 
-    1. Resolve the filter doc set FIRST: the pruning threshold θ must lower-
-       bound the k-th FILTERED score, so the bootstrap only counts allowed
-       docs (an unfiltered bootstrap could over-prune).
+    1. Resolve the filter doc sets FIRST: the pruning threshold θ must lower-
+       bound the k-th FILTERED score, so the bootstrap only counts allowed,
+       non-excluded docs (an unfiltered bootstrap could over-prune).
     2. Bootstrap θ from the strongest (field, term)'s blocks in descending
        block-max order until k allowed docs are seen (θ = k-th best solo
        contribution — a valid lower bound on the final k-th score).
     3. Drop block b of term t iff idf_t·max_w(b) + Σ_{t'≠t} UB(t') < θ − ε.
-    4. Exact accumulation over surviving blocks, masked by the filter set.
+    4. Exact accumulation over surviving blocks, masked by the filter sets.
     """
     import math as _math
 
     from ..functions.codecs import decode_block, decode_block_run
 
-    allow = _resolve_filters(reader, filters)
+    allow, exclude = _resolve_filters(reader, filters)
     if allow is not None and not len(allow):
         return []
 
@@ -256,8 +280,9 @@ def search_fields_pruned(
         docs_b, tfs, dls = decode_block(seg, bi)
         w = bm25_weight(tfs, dls, best["avgdl"], reader.k1, reader.b)
         contrib = best["idf"] * w
-        if allow is not None:
-            contrib = contrib[np.isin(docs_b, allow)]
+        bmask = _filter_mask(docs_b, allow, exclude)
+        if bmask is not None:
+            contrib = contrib[bmask]
         if len(contrib):
             solo.append(contrib)
             seen += len(contrib)
@@ -300,8 +325,9 @@ def search_fields_pruned(
     if not gathered:
         return []
     union = np.unique(np.concatenate([g[0] for g in gathered]))
-    if allow is not None:
-        union = union[np.isin(union, allow)]
+    umask = _filter_mask(union, allow, exclude)
+    if umask is not None:
+        union = union[umask]
         if not len(union):
             return []
     scores = np.zeros(len(union), dtype=np.float64)

@@ -11,11 +11,20 @@ weights from the stored (tf, dl) at query time using the READER's corpus
 stats, and MultiReader exposes the combined N, Σdl and avgdl (summed from
 the generations' manifests) with per-term df summed across generations —
 so idf and length norms match a from-scratch index over the union
-(doc sets must be disjoint; same analyzer/k1/b enforced). Block-max
-metadata baked at build time uses per-generation avgdl, so the block-max
-pruned/WAND paths are NOT exposed here — exact (and conjunctive) scoring
-is; at serving scale, compact generations periodically exactly like the
-reference's monthly→annual rollup.
+(doc sets must be disjoint; same analyzer/k1/b enforced).
+
+Block-max metadata baked at build time uses per-generation avgdl; the
+pruned path stays available because each generation's ``blk_max_w`` can be
+rescaled to a bound valid under the UNION avgdl: with
+w = tf/(tf + k1(1-b) + k1·b·dl/avgdl) and r = avgdl_union/avgdl_gen,
+r ≥ 1 ⇒ w_union ≤ r·w_gen (the denominator shrinks by at most r), and
+r < 1 ⇒ w_union ≤ w_gen. ``term_segments`` applies scale = max(1, r) per
+generation, so ``search_pruned`` over a MultiReader is rank- and
+score-identical to ``search_exact`` over the union (actual weights are
+recomputed from the stored (tf, dl) with union stats; only the skip bounds
+are scaled). WAND's cursor path is not wired here — pruned + exact +
+conjunctive cover serving; at scale, compact generations periodically
+exactly like the reference's monthly→annual rollup.
 """
 
 from __future__ import annotations
@@ -69,6 +78,23 @@ class MultiReader:
 
     def df(self, term: str) -> int:
         return sum(r.df(term) for r in self.readers)
+
+    def term_segments(self, term: str) -> tuple[dict, ...]:
+        """Every generation's encoded segments for ``term``, with block-max
+        weights rescaled by max(1, avgdl_union/avgdl_gen) so they remain
+        valid UPPER bounds under the union's avgdl (see module doc). Segment
+        dicts are copies — the per-reader caches stay untouched. Doc ranges
+        interleave across generations (hash ids), which the pruned scorer
+        tolerates: it only needs per-segment block bounds, never a global
+        doc order across segments."""
+        out: list[dict] = []
+        for r in self.readers:
+            scale = max(1.0, self.avgdl / r.avgdl)
+            for seg in r.term_segments(term):
+                if scale != 1.0:
+                    seg = {**seg, "blk_max_w": seg["blk_max_w"] * scale}
+                out.append(seg)
+        return tuple(out)
 
     def resolve_urls(self, doc_ids: list[int]) -> dict[int, str]:
         out: dict[int, str] = {}

@@ -396,7 +396,8 @@ def search_and(
 
 
 def expand_prefix(reader: IndexReader, prefix: str,
-                  max_expansions: int = 1024) -> list[str]:
+                  max_expansions: int = 1024,
+                  field: str | None = None) -> list[str]:
     """Terms starting with ``prefix``, from the termstats dictionary.
 
     The reference accelerates year/year-month prefix search with ES
@@ -404,7 +405,11 @@ def expand_prefix(reader: IndexReader, prefix: str,
     sorted term dictionary serves the expansion (a dictionary range scan —
     row-group pruned by parquet statistics). Expansion is capped like ES
     ``max_expansions``; the cap keeps the largest-df terms (most selective
-    ranking signal comes from them under OR semantics)."""
+    ranking signal comes from them under OR semantics).
+
+    ``field``: scope the expansion to ONE field of a fielded index — the
+    dictionary scan runs over ``field:prefix`` and the returned tokens are
+    BARE (prefix stripped), ready for a ``search_fields`` match clause."""
     import os
 
     import pyarrow.dataset as pa_ds
@@ -414,11 +419,14 @@ def expand_prefix(reader: IndexReader, prefix: str,
         return []
     import pyarrow.compute as pc
 
+    scan_prefix = f"{field}:{prefix}" if field else prefix
     tbl = pa_ds.dataset(ts_dir).to_table(
         columns=["term", "df"],
-        filter=pc.starts_with(pc.field("term"), prefix),
+        filter=pc.starts_with(pc.field("term"), scan_prefix),
     )
     terms = tbl["term"].to_pylist()
+    if field:
+        terms = [t[len(field) + 1:] for t in terms]
     if len(terms) > max_expansions:
         dfs = tbl["df"].to_numpy()
         keep = np.argsort(-dfs, kind="stable")[:max_expansions]
@@ -429,11 +437,14 @@ def expand_prefix(reader: IndexReader, prefix: str,
 def search_prefix(
     reader: IndexReader, query: str, k: int = 10,
     max_expansions: int = 1024,
+    field: str | None = None,
 ) -> list[tuple[int, float]]:
     """Prefix query: tokens ending in ``*`` expand to all dictionary terms
     with that prefix; the expanded unique term set scores as a plain OR
     BM25 (each expanded term contributes its own idf — multi-term
-    expansion semantics, defined here and mirrored by the SQL oracle)."""
+    expansion semantics, defined here and mirrored by the SQL oracle).
+    With ``field``, expansion and scoring are scoped to that field of a
+    fielded index (per-field idf/avgdl via ``search_fields``)."""
     raw = query.split()
     expanded: set[str] = set()
     for tok in raw:
@@ -443,13 +454,19 @@ def search_prefix(
             # not analyze_query's lexicographically-last
             toks = tokenize(tok[:-1])
             if toks:
-                expanded.update(expand_prefix(reader, toks[-1], max_expansions))
+                expanded.update(expand_prefix(reader, toks[-1],
+                                              max_expansions, field=field))
                 expanded.update(toks[:-1])
         else:
             expanded.update(analyze_query(tok))
     if not expanded:
         return []
-    return search_exact(reader, " ".join(sorted(expanded)), k)
+    joined = " ".join(sorted(expanded))
+    if field:
+        from .fielded import search_fields
+
+        return search_fields(reader, [(field, joined)], k)
+    return search_exact(reader, joined, k)
 
 
 def search(
@@ -501,17 +518,10 @@ def _levenshtein_batch(query: str, cands: list[str]) -> np.ndarray:
     return prev[np.arange(len(cands)), lens].astype(np.int32)
 
 
-def expand_fuzzy(reader: IndexReader, term: str, max_dist: int = 1,
-                 max_expansions: int = 64) -> list[str]:
-    """Dictionary terms within Levenshtein distance ``max_dist`` of ``term``.
-
-    The reference's matchID raison d'être is typo-tolerant person matching
-    (ES ``fuzziness`` over the same mapping); here the expansion runs over
-    the termstats dictionary with a |len| band prune then one vectorized
-    edit-distance pass. The dictionary loads once per reader (cached) — at
-    web scale this is the in-memory term dictionary every serving node
-    already holds. Cap keeps the largest-df expansions, exact match always
-    kept first."""
+def _vocab_cache(reader: IndexReader, field: str | None = None) -> dict | None:
+    """The reader's in-memory term dictionary (terms, lengths, dfs) — loaded
+    once per reader; with ``field``, a per-field view (terms stripped of
+    their ``field:`` prefix) derived once and cached alongside."""
     import os
 
     import pyarrow.dataset as pa_ds
@@ -520,13 +530,52 @@ def expand_fuzzy(reader: IndexReader, term: str, max_dist: int = 1,
     if cache is None:
         ts_dir = os.path.join(reader.index_dir, "termstats")
         if not os.path.isdir(ts_dir):
-            return []
+            return None
         tbl = pa_ds.dataset(ts_dir).to_table(columns=["term", "df"])
         terms = np.asarray(tbl["term"].to_pylist(), dtype=object)
         lens = np.fromiter((len(t) for t in terms), np.int64, len(terms))
         cache = {"terms": terms, "lens": lens,
                  "dfs": tbl["df"].to_numpy()}
         reader._vocab_cache = cache
+    if field is None:
+        return cache
+    fcaches = getattr(reader, "_vocab_cache_fields", None)
+    if fcaches is None:
+        fcaches = {}
+        reader._vocab_cache_fields = fcaches
+    got = fcaches.get(field)
+    if got is None:
+        pfx = field + ":"
+        npfx = len(pfx)
+        all_terms = cache["terms"]
+        keep = np.fromiter((t.startswith(pfx) for t in all_terms),
+                           bool, len(all_terms))
+        terms = np.asarray([t[npfx:] for t in all_terms[keep]], dtype=object)
+        lens = np.fromiter((len(t) for t in terms), np.int64, len(terms))
+        got = {"terms": terms, "lens": lens, "dfs": cache["dfs"][keep]}
+        fcaches[field] = got
+    return got
+
+
+def expand_fuzzy(reader: IndexReader, term: str, max_dist: int = 1,
+                 max_expansions: int = 64,
+                 field: str | None = None) -> list[str]:
+    """Dictionary terms within Levenshtein distance ``max_dist`` of ``term``.
+
+    The reference's matchID raison d'être is typo-tolerant person matching
+    (ES ``fuzziness`` over the same mapping); here the expansion runs over
+    the termstats dictionary with a |len| band prune then one vectorized
+    edit-distance pass. The dictionary loads once per reader (cached) — at
+    web scale this is the in-memory term dictionary every serving node
+    already holds. Cap keeps the largest-df expansions, exact match always
+    kept first.
+
+    ``field``: scope the expansion to ONE field of a fielded index — edit
+    distance runs over that field's bare tokens (``field:`` stripped), and
+    bare tokens are returned, ready for a ``search_fields`` match clause."""
+    cache = _vocab_cache(reader, field)
+    if cache is None:
+        return []
     terms, lens, dfs = cache["terms"], cache["lens"], cache["dfs"]
     band = np.flatnonzero(np.abs(lens - len(term)) <= max_dist)
     if not len(band):
@@ -545,21 +594,57 @@ def expand_fuzzy(reader: IndexReader, term: str, max_dist: int = 1,
 def search_fuzzy(
     reader: IndexReader, query: str, k: int = 10,
     max_dist: int = 1, max_expansions: int = 64,
+    field: str | None = None,
 ) -> list[tuple[int, float]]:
     """Fuzzy match: each query token expands to all dictionary terms within
     ``max_dist`` edits; the expanded unique term set scores as plain OR
     BM25 (each expanded term contributes its own idf — same multi-term
-    semantics as prefix search, mirrored by the SQL oracle)."""
+    semantics as prefix search, mirrored by the SQL oracle). With ``field``,
+    expansion and scoring are scoped to that field of a fielded index
+    (per-field idf/avgdl via ``search_fields``)."""
     expanded: set[str] = set()
     for tok in tokenize(query):
-        expanded.update(expand_fuzzy(reader, tok, max_dist, max_expansions))
+        expanded.update(expand_fuzzy(reader, tok, max_dist, max_expansions,
+                                     field=field))
     if not expanded:
         return []
-    return search_exact(reader, " ".join(sorted(expanded)), k)
+    joined = " ".join(sorted(expanded))
+    if field:
+        from .fielded import search_fields
+
+        return search_fields(reader, [(field, joined)], k)
+    return search_exact(reader, joined, k)
+
+
+# Doc-stride for the flattened cross-doc phrase DP: positions of candidate
+# doc i live in [i*_DOC_STRIDE, (i+1)*_DOC_STRIDE). Positions are uint32, so
+# 2^33 strictly separates docs; int64 holds stride * n_candidates for any
+# candidate set below 2^30 docs.
+_DOC_STRIDE = np.int64(1) << np.int64(33)
+
+
+def _gather_candidate_positions(
+    data: dict, tok: str, inter: np.ndarray, idx: dict
+) -> np.ndarray:
+    """Flat, strictly increasing array of ``doc_rank * stride + position``
+    for token ``tok`` over every candidate doc — the whole candidate set's
+    position lists in one array, doc identity encoded in the offset."""
+    _, _, _, flat, off = data[tok]
+    p = idx[tok]  # posting index of each candidate doc for this token
+    lens = (off[p + 1] - off[p]).astype(np.int64)
+    starts = off[p].astype(np.int64)
+    ends = np.cumsum(lens)
+    total = int(ends[-1]) if len(ends) else 0
+    gather = (np.repeat(starts, lens)
+              + np.arange(total) - np.repeat(ends - lens, lens))
+    base = np.repeat(np.arange(len(inter), dtype=np.int64) * _DOC_STRIDE,
+                     lens)
+    return flat[gather].astype(np.int64) + base
 
 
 def search_phrase(
-    reader: IndexReader, phrase: str, k: int = 10, slop: int = 0
+    reader: IndexReader, phrase: str, k: int = 10, slop: int = 0,
+    field: str | None = None,
 ) -> list[tuple[int, float]]:
     """Phrase query (ES ``match_phrase``) over a positional index.
 
@@ -568,13 +653,43 @@ def search_phrase(
     ``slop`` total extra positions inserted between them (no reordering —
     simpler than Lucene's move-based slop, and exactly SQL-checkable).
     Matching docs score as the plain BM25 sum of the phrase's UNIQUE terms
-    (same weights as the OR scorers)."""
+    (same weights as the OR scorers).
+
+    ``field``: phrase over ONE field of a fielded positional index —
+    tokens look up ``field:token`` postings, positions are within that
+    field's token stream, and scoring uses the field's docCount/avgdl
+    (per-field norms, matching ``search_fields``). ``None`` = the
+    single-field index layout.
+
+    Recall cap: the index stores at most 255 positions per posting (the
+    uint8 tf quantization, `build.py _analyze_with_positions`), so a phrase
+    whose only occurrence starts after a token's 255th occurrence in one
+    doc is missed — pathologically repetitive docs only; the SQL oracle has
+    no such cap (documented divergence, also in docs/INDEX_FORMAT.md).
+
+    The ordered-slop DP is vectorized ACROSS candidate docs: every
+    candidate's position list for token j concatenates into one flat array
+    with doc identity folded into the position offset (doc_rank * 2^33), so
+    each DP step is one searchsorted + one prefix-min over the whole
+    candidate set — no per-doc Python loop. Cross-doc chains self-eliminate:
+    a predecessor from an earlier doc inflates the gap by ≥2^33 > slop.
+    """
     toks = tokenize(phrase)
     if not toks:
         return []
+    prefix = f"{field}:" if field else ""
+    if field:
+        fstats = reader.field_stats.get(field)
+        if fstats is None:
+            return []
+        n_docs = int(fstats["n_docs"])
+        avgdl = float(fstats["avgdl"]) or 1.0
+    else:
+        n_docs = reader.n_docs
+        avgdl = reader.avgdl
     data = {}
     for t in set(toks):
-        docs, tfs, dls, flat, off = reader.postings_with_positions(t)
+        docs, tfs, dls, flat, off = reader.postings_with_positions(prefix + t)
         if not len(docs):
             return []  # a missing term empties the phrase
         data[t] = (docs, tfs, dls, flat, off)
@@ -585,45 +700,38 @@ def search_phrase(
         if not len(inter):
             return []
 
-    # ordered-slop DP per candidate doc: U[p] = the minimum total gap of any
-    # in-order chain ending with token j at position p; the prefix-min trick
-    # (min over f<p of U_prev[f] - f) makes each step one vectorized pass
-    survivors = []
+    # ordered-slop DP, one vectorized pass per phrase token over ALL
+    # candidate docs at once: U[p] = minimum total gap of any in-order chain
+    # ending with token j at flattened position p; the prefix-min trick
+    # (min over f<p of U_prev[f] - f) makes each step one accumulate pass.
     idx = {t: np.searchsorted(data[t][0], inter) for t in set(toks)}
-    for ci in range(len(inter)):
-        t0 = toks[0]
-        _, _, _, f0, o0 = data[t0]
-        p = idx[t0][ci]
-        P_prev = f0[o0[p]: o0[p + 1]].astype(np.int64)
-        U_prev = np.zeros(len(P_prev), np.int64)
-        alive = True
-        for tj in toks[1:]:
-            _, _, _, fj, oj = data[tj]
-            pj = idx[tj][ci]
-            P = fj[oj[pj]: oj[pj + 1]].astype(np.int64)
-            G = np.minimum.accumulate(U_prev - P_prev)  # min(U[f] - f), f ≤ ·
-            at = np.searchsorted(P_prev, P, side="left") - 1  # last f < p
-            ok = at >= 0
-            U = np.full(len(P), np.iinfo(np.int64).max, np.int64)
-            U[ok] = P[ok] - 1 + G[at[ok]]
-            keep = U <= slop
-            P_prev, U_prev = P[keep], U[keep]
-            if not len(P_prev):
-                alive = False
-                break
-        if alive and len(P_prev):
-            survivors.append(inter[ci])
-    if not survivors:
+    P_prev = _gather_candidate_positions(data, toks[0], inter, idx)
+    U_prev = np.zeros(len(P_prev), np.int64)
+    for tj in toks[1:]:
+        P = _gather_candidate_positions(data, tj, inter, idx)
+        if not len(P_prev):
+            P_prev = P[:0]
+            break
+        G = np.minimum.accumulate(U_prev - P_prev)  # min(U[f] - f), f ≤ ·
+        at = np.searchsorted(P_prev, P, side="left") - 1  # last f < p
+        ok = at >= 0
+        U = np.full(len(P), np.iinfo(np.int64).max, np.int64)
+        U[ok] = P[ok] - 1 + G[at[ok]]
+        keep = U <= slop  # a cross-doc chain's U carries ≥2^33 — never kept
+        P_prev, U_prev = P[keep], U[keep]
+        if not len(P_prev):
+            break
+    if not len(P_prev):
         return []
-    surv = np.asarray(survivors, dtype=np.uint64)
+    surv = inter[np.unique(P_prev // _DOC_STRIDE)]
 
     # score = OR-BM25 of the unique phrase terms, restricted to survivors
     scores = np.zeros(len(surv), dtype=np.float64)
     for t in sorted(set(toks)):
         docs, tfs, dls, _, _ = data[t]
         pos = np.searchsorted(docs, surv)
-        w = bm25_weight(tfs[pos], dls[pos], reader.avgdl, reader.k1, reader.b)
-        scores += idf(reader.n_docs, len(docs)) * w
+        w = bm25_weight(tfs[pos], dls[pos], avgdl, reader.k1, reader.b)
+        scores += idf(n_docs, len(docs)) * w
     return _topk_from_scores(surv, scores, k)
 
 

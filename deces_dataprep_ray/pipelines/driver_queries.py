@@ -443,17 +443,19 @@ def _index_for(sf_dir: str) -> str:
 
 
 def q_bm25_topk(sf_dir: str) -> pd.DataFrame:
-    """End-to-end: build the inverted index over ``documents``, run block-max
-    WAND BM25 top-10 for a fixed query, map urls back to doc_ids. The DuckDB
-    oracle recomputes BM25 relationally (same k1/b/idf formula)."""
-    from ..index.query import search_wand
+    """End-to-end: build the inverted index over ``documents``, run BM25
+    top-10 for a fixed query through the real serving path
+    (``search(algorithm="auto")`` — exact/pruned by corpus shape; WAND stays
+    a rank-identity cross-check in tests), map urls back to doc_ids. The
+    DuckDB oracle recomputes BM25 relationally (same k1/b/idf formula)."""
+    from ..index.query import search
     from ..index.reader import IndexReader
 
     reader = IndexReader(_index_for(sf_dir))
     # fetch deep then re-rank by (rounded score, doc_id): mathematical score
     # ties can differ between engines at 1 ulp, so the rounded key is the
     # only cross-engine-stable ordering
-    res = search_wand(reader, "data spark window", k=200)
+    res = search(reader, "data spark window", k=200)
     urls = reader.resolve_urls([d for d, _ in res])
     df = pd.DataFrame({
         "orig_id": [int(urls[d].removeprefix("doc://")) for d, _ in res],
@@ -694,10 +696,13 @@ def q_bm25_incremental(sf_dir: str) -> pd.DataFrame:
     """Incremental indexing: documents split into two generations (doc_id
     parity), each built as its own index; MultiReader serves the union with
     scores IDENTICAL to a full rebuild — the oracle is the very same
-    relational BM25 over the whole table."""
+    relational BM25 over the whole table. Served through the block-max
+    PRUNED path (generation bounds rescaled to the union avgdl,
+    `index/multi.py term_segments`) — the 10^12-doc serving path; exact is
+    the rank-identity cross-check in tests."""
     from ..index.build import build_index
     from ..index.multi import MultiReader
-    from ..index.query import search_exact
+    from ..index.query import search_pruned
 
     doc_path = os.path.join(sf_dir, "documents.parquet")
     tag = hashlib.sha256(
@@ -721,7 +726,7 @@ def q_bm25_incremental(sf_dir: str) -> pd.DataFrame:
                     head_min_df=64, input_tag=f"{gen}:{tag}",
                     batch_size=1024)
     multi = MultiReader(dirs)
-    res = search_exact(multi, "data spark window", k=200)
+    res = search_pruned(multi, "data spark window", k=200)
     return _rounded_topk(res, multi)
 
 
@@ -743,6 +748,47 @@ def _positional_index_for(sf_dir: str) -> str:
     build_index(ds, index_dir, num_buckets=8, salt_shards=4, head_min_df=64,
                 store_positions=True, input_tag=tag, batch_size=1024)
     return index_dir
+
+
+def _fielded_positional_index_for(sf_dir: str) -> str:
+    """Fielded AND positional index over ``documents`` — the reference's
+    real mapping shape (everything per-field, `deces_index.yml:42-157`)
+    with phrase support: per-field position streams, per-field BM25 stats."""
+    from ..index.build import build_index
+
+    doc_path = os.path.join(sf_dir, "documents.parquet")
+    tag = hashlib.sha256(
+        f"fldpos:{doc_path}:{os.path.getsize(doc_path)}".encode()
+    ).hexdigest()[:12]
+    index_dir = os.path.join("/tmp", "dcray_index_cache", "fldpos_" + tag)
+
+    def add_url(t: pa.Table) -> pa.Table:
+        urls = [f"doc://{d}" for d in t["doc_id"].to_pylist()]
+        return t.append_column("url", pa.array(urls, pa.string()))
+
+    ds = rd.read_parquet(doc_path,
+                         columns=["doc_id", "text", "source", "lang"]
+                         ).map_batches(add_url, batch_format="pyarrow")
+    build_index(ds, index_dir,
+                fields={"text": "text", "source": "source"},
+                keyword_fields={"lang": "lang"},
+                store_positions=True,
+                num_buckets=8, salt_shards=4, head_min_df=64,
+                input_tag=tag, batch_size=1024)
+    return index_dir
+
+
+def q_bm25_phrase_fielded(sf_dir: str) -> pd.DataFrame:
+    """Phrase query on ONE field of a fielded positional index
+    (match_phrase on an analyzed per-field mapping — the reference's
+    natural phrase shape, e.g. phrase-on-NOM): 'data window' adjacent in
+    the ``text`` field, scored with the FIELD's docCount/avgdl."""
+    from ..index.query import search_phrase
+    from ..index.reader import IndexReader
+
+    reader = IndexReader(_fielded_positional_index_for(sf_dir))
+    res = search_phrase(reader, "data window", k=400, field="text")
+    return _rounded_topk(res, reader)
 
 
 def q_bm25_phrase(sf_dir: str) -> pd.DataFrame:
@@ -840,14 +886,18 @@ def q_langid(sf_dir: str) -> pd.DataFrame:
 
 
 def q_ngram_dedup(sf_dir: str) -> pd.DataFrame:
-    """Near-dup pairs verified by exact n-gram Jaccard (LSH candidates,
-    set-intersection verify — rows-only)."""
+    """Near-dup pairs verified by EXACT character-5-gram Jaccard — LSH
+    proposes candidates, exact set-intersection verifies, so the output is
+    SQL-checkable (DuckDB recomputes the same jaccard from substring
+    5-grams). 32 bands × 2 rows keep the per-pair LSH miss probability at
+    (1 − j²)³² ≤ 6e-7 for j ≥ 0.6, so candidate recall is effectively
+    exact at verification thresholds."""
     from ..stages.dedup import ngram_jaccard_duplicates
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return _pairs_to_pandas(
-        ngram_jaccard_duplicates(ds, threshold=0.6, num_hashes=32,
-                                 num_bands=8), "jaccard")
+        ngram_jaccard_duplicates(ds, threshold=0.6, num_hashes=64,
+                                 num_bands=32), "jaccard")
 
 
 def q_embed_dedup(sf_dir: str) -> pd.DataFrame:

@@ -26,7 +26,12 @@ def _common_key_type(lt: pa.DataType, rt: pa.DataType) -> pa.DataType:
     """Common type both sides' key columns are cast to BEFORE bucketing, so
     numerically equal keys with different physical types (int64 1 vs float64
     1.0) land in the same bucket AND merge equal — instead of hashing as
-    '1' vs '1.0' and silently never meeting."""
+    '1' vs '1.0' and silently never meeting.
+
+    Known limit: an int64/float64 mix casts to float64, which is exact only
+    up to 2^53 — integer keys above that can collide after the cast. Keep
+    both sides integer (or cast explicitly upstream) for id spaces that
+    large."""
     if lt.equals(rt):
         return lt
     num = (pa.types.is_integer, pa.types.is_floating)

@@ -113,31 +113,26 @@ class LangId(Stage):
 @dataclass
 class Fingerprint(Stage):
     """Deterministic document fingerprints: md5 of raw text (exact) and a
-    64-bit rolling-shingle fingerprint (first-8-bytes blake2b over the
-    document's sorted 5-gram min-hashes — a cheap winnowing-style content id).
-    """
+    64-bit rolling-shingle fingerprint (splitmix64 fold of the document's 8
+    smallest vectorized 5-gram hashes — a cheap winnowing-style content id,
+    sharing the dedup stage's shingle kernel instead of per-gram crypto
+    hashing)."""
 
     text_col: str = "text"
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from .dedup import _mix64, _tokenize_shingles
+
         texts = ["" if t is None else t for t in batch[self.text_col].to_pylist()]
         md5s = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
         fps = np.empty(len(texts), np.uint64)
         for i, t in enumerate(texts):
-            grams = {t[j: j + 5] for j in range(max(1, len(t) - 4))}
-            mins = sorted(
-                int.from_bytes(
-                    hashlib.blake2b(g.encode(), digest_size=8).digest(), "big"
-                )
-                for g in grams
-            )[:8]
-            fps[i] = np.uint64(
-                int.from_bytes(
-                    hashlib.blake2b(
-                        b"".join(m.to_bytes(8, "big") for m in mins), digest_size=8
-                    ).digest(),
-                    "big",
-                )
-            )
+            sh = _tokenize_shingles(t, 5)  # sorted unique uint64 hashes
+            mins = sh[:8]  # 8 smallest = the winnowing sketch
+            # position-salted mix then xor-fold (array ops only — numpy
+            # scalar arithmetic warns on intentional uint64 wraparound)
+            mixed = _mix64(mins + np.arange(len(mins), dtype=np.uint64))
+            acc = np.bitwise_xor.reduce(mixed) ^ np.uint64(len(mins))
+            fps[i] = _mix64(np.array([acc], np.uint64))[0]
         batch = batch.append_column("fp_md5", pa.array(md5s, pa.string()))
         return batch.append_column("fp_sketch", pa.array(fps, pa.uint64()))

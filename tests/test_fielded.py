@@ -261,6 +261,74 @@ def test_not_keyword_filter(fielded_corpus, fielded_index):
     _cmp(got2, _brute(df, [("body", "data spark")]))
 
 
+def test_field_scoped_fuzzy_prefix(fielded_corpus, fielded_index):
+    from deces_dataprep_ray.functions.analysis import tokenize
+    from deces_dataprep_ray.index.query import (
+        expand_fuzzy,
+        expand_prefix,
+        search_fuzzy,
+        search_prefix,
+    )
+
+    df, _ = fielded_corpus
+    r = IndexReader(fielded_index)
+    body_vocab = {t for txt in df["body"] for t in tokenize(str(txt))}
+    # fuzzy expansion scoped to body's bare tokens
+    assert expand_fuzzy(r, "scam", max_dist=1, field="body",
+                        max_expansions=10**6) == ["scan"]
+    # prefix expansion scoped per field (including keyword fields)
+    want = sorted(t for t in body_vocab if t.startswith("s"))
+    assert expand_prefix(r, "s", field="body") == want
+    assert expand_prefix(r, "f", field="lang") == ["fr"]
+    assert expand_prefix(r, "zz", field="body") == []
+    # field-scoped search == search_fields over the expanded token set
+    assert search_fuzzy(r, "scam", 10, field="body") == \
+        search_fields(r, [("body", "scan")], 10)
+    assert search_prefix(r, "me*", 10, field="body") == \
+        search_fields(r, [("body", "merge")], 10)
+
+
+def test_must_not_never_scans_docstore(fielded_corpus, fielded_index,
+                                       monkeypatch):
+    # the lazy must_not drops excluded docs from the scored set by postings
+    # membership — the docvalues store must NOT be read (no O(corpus) scan
+    # per query at 10^12 docs)
+    from deces_dataprep_ray.index import docstore as ds_mod
+    from deces_dataprep_ray.index.fielded import (
+        NotKeywordFilter,
+        search_fields_pruned,
+    )
+
+    def boom(*a, **k):
+        raise AssertionError("must_not filter touched the docstore")
+
+    monkeypatch.setattr(ds_mod.DocStore, "scan", boom)
+    monkeypatch.setattr(ds_mod.DocStore, "lookup", boom)
+    r = IndexReader(fielded_index)
+    got = search_fields(r, [("body", "data spark")], k=10,
+                        filters=[NotKeywordFilter("lang", "fr")])
+    assert got  # still answers
+    assert search_fields_pruned(r, [("body", "data spark")], k=10,
+                                filters=[NotKeywordFilter("lang", "fr")]) \
+        == got
+
+
+def test_build_config_validation(fielded_corpus, tmp_path):
+    df, src = fielded_corpus
+    idx = str(tmp_path / "bad")
+    with pytest.raises(ValueError, match="reserved"):
+        build_index(src, idx, fields={"body": "body"},
+                    docvalue_fields={"dl": "nch"})
+    with pytest.raises(ValueError, match="reserved"):
+        build_index(src, idx, fields={"body": "body"},
+                    docvalue_fields={"dl__body": "nch"})
+    with pytest.raises(ValueError, match="disjoint"):
+        build_index(src, idx, fields={"lang": "lang"},
+                    keyword_fields={"lang": "lang"})
+    with pytest.raises(ValueError, match="':'"):
+        build_index(src, idx, fields={"bo:dy": "body"})
+
+
 def test_boosted_clauses(fielded_corpus, fielded_index):
     from deces_dataprep_ray.index.fielded import search_fields_pruned
 

@@ -323,11 +323,17 @@ def test_multireader_equals_full_rebuild(corpus_dir, built_index, tmp_path):
     multi = MultiReader(gens)
     assert multi.n_docs == full.n_docs
     assert abs(multi.avgdl - full.avgdl) < 1e-9
-    from deces_dataprep_ray.index.query import search_and
+    from deces_dataprep_ray.index.query import search_and, search_pruned
 
     for q in QUERIES[:6]:
         assert search_exact(multi, q, 10) == search_exact(full, q, 10), q
         assert search_and(multi, q, 10) == search_and(full, q, 10), q
+        # pruned over generations: per-generation block maxima rescaled to
+        # the union avgdl stay valid bounds — rank/score identity holds
+        assert search_pruned(multi, q, 10) == search_exact(full, q, 10), q
+    # the rescale is real: generations' avgdl differ from the union's, so
+    # at least one generation's bounds needed scaling
+    assert any(abs(r.avgdl - multi.avgdl) > 1e-12 for r in multi.readers)
     # url resolution spans generations
     res = search_exact(multi, "term1 term2", 5)
     urls = multi.resolve_urls([d for d, _ in res])

@@ -1,5 +1,6 @@
 """Positional index + phrase queries vs an independent brute force."""
 
+import os
 import shutil
 
 import numpy as np
@@ -104,6 +105,110 @@ def test_positional_compaction_guarded(phrase_setup):
     _, idx = phrase_setup
     with pytest.raises(NotImplementedError):
         compact_head_segments(idx)
+
+
+# --- fielded × positional: phrase on one field of a per-field mapping ------
+
+@pytest.fixture(scope="module")
+def fielded_phrase_setup(tmp_path_factory):
+    d = tmp_path_factory.mktemp("fldphrase")
+    rng = np.random.default_rng(17)
+    vocab = ["data", "spark", "window", "row", "join", "scan", "café"]
+    n = 100
+    body = [" ".join(rng.choice(vocab, rng.integers(4, 15)))
+            for _ in range(n)]
+    body[3] = "row data spark window join"
+    body[9] = "data spark data spark scan"
+    title = [" ".join(rng.choice(vocab, 3)) if i % 4 else ""
+             for i in range(n)]
+    title[5] = "data spark window"
+    df = pd.DataFrame({
+        "url": [f"doc://{i}" for i in range(n)],
+        "body": body, "title": title,
+        "lang": [["en", "fr"][i % 2] for i in range(n)],
+    })
+    src = str(d / "src.parquet")
+    df.to_parquet(src)
+    idx = str(d / "idx")
+    build_index(src, idx,
+                fields={"body": "body", "title": "title"},
+                keyword_fields={"lang": "lang"},
+                store_positions=True,
+                num_buckets=4, salt_shards=2, head_min_df=40, batch_size=32)
+    return df, idx
+
+
+def _brute_field_phrase(df, field, phrase, k=10, slop=0):
+    """Independent per-field phrase + per-field-stats BM25 oracle."""
+    toks = tokenize(phrase)
+    docs_tokens = [tokenize(str(t)) for t in df[field]]
+    dls = [len(dt) for dt in docs_tokens]
+    nf = sum(1 for d in dls if d > 0)
+    avg = (sum(dls) / nf) if nf else 1.0
+    out = []
+    for i, dt in enumerate(docs_tokens):
+        if not _brute_slop_match(dt, toks, slop):
+            continue
+        sc = 0.0
+        for t in sorted(set(toks)):
+            dfreq = sum(1 for x in docs_tokens if t in x)
+            tf = dt.count(t)
+            sc += idf(nf, dfreq) * (
+                tf / (tf + 1.2 * (1 - 0.75 + 0.75 * dls[i] / avg)))
+        out.append((doc_id_from_url(df["url"][i]), sc))
+    return sorted(out, key=lambda kv: (-kv[1], kv[0]))[:k]
+
+
+@pytest.mark.parametrize("field,phrase,slop", [
+    ("body", "data spark", 0),
+    ("body", "spark data", 0),
+    ("body", "data spark window", 0),
+    ("body", "data window", 2),
+    ("title", "data spark", 0),
+    ("title", "spark window", 1),
+    ("title", "café data", 0),
+])
+def test_fielded_phrase_matches_bruteforce(fielded_phrase_setup, field,
+                                           phrase, slop):
+    df, idx = fielded_phrase_setup
+    r = IndexReader(idx)
+    got = search_phrase(r, phrase, 10, slop=slop, field=field)
+    want = _brute_field_phrase(df, field, phrase, slop=slop)
+    assert [(d, round(s, 9)) for d, s in got] == \
+           [(d, round(s, 9)) for d, s in want], (field, phrase, slop)
+
+
+def test_fielded_phrase_fields_are_independent(fielded_phrase_setup):
+    # a phrase adjacent in body but not in title must only match via body
+    df, idx = fielded_phrase_setup
+    r = IndexReader(idx)
+    b = {d for d, _ in search_phrase(r, "data spark", 1000, field="body")}
+    t = {d for d, _ in search_phrase(r, "data spark", 1000, field="title")}
+    assert b != t  # fixture guarantees differing doc sets
+    want_t = {d for d, _ in _brute_field_phrase(df, "title", "data spark",
+                                                k=10**6)}
+    assert t == want_t
+
+
+def test_fielded_phrase_unknown_field_empty(fielded_phrase_setup):
+    _, idx = fielded_phrase_setup
+    r = IndexReader(idx)
+    assert search_phrase(r, "data spark", 10, field="nope") == []
+
+
+def test_fielded_positional_resume(fielded_phrase_setup):
+    # resuming the fielded positional build answers identically
+    df, idx = fielded_phrase_setup
+    r1 = IndexReader(idx)
+    before = search_phrase(r1, "data spark", 10, field="body")
+    src = os.path.join(os.path.dirname(idx), "src.parquet")
+    build_index(src, idx,
+                fields={"body": "body", "title": "title"},
+                keyword_fields={"lang": "lang"},
+                store_positions=True,
+                num_buckets=4, salt_shards=2, head_min_df=40, batch_size=32)
+    assert search_phrase(IndexReader(idx), "data spark", 10,
+                         field="body") == before
 
 
 def _brute_slop_match(dt, toks, slop):
