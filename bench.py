@@ -98,9 +98,12 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool) -> dict:
     index_dir = f"/tmp/dcray_bench/index_{n_docs}_{num_cpus}"
 
     # best-of-2: this sandbox shows ±20% run-to-run variance from noisy
-    # neighbors; the minimum is the faithful measure of the engine
+    # neighbors; the minimum is the faithful measure of the engine.
+    # (--scaling sets BENCH_BUILD_RUNS=1: the median-of-N protocol handles
+    # noise across samples instead of inside each sample)
+    n_runs = int(os.environ.get("BENCH_BUILD_RUNS", "2"))
     build_times = []
-    for _ in range(2):
+    for _ in range(n_runs):
         shutil.rmtree(index_dir, ignore_errors=True)
         t0 = time.time()
         build_index(
@@ -208,6 +211,33 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool) -> dict:
         dq.q_ann_lsh(sf_dir)
         queries["ann_lsh_persisted"] = round(time.time() - t, 3)
 
+        # positional index + phrase p50: head-term phrases are the worst
+        # case (candidate set = intersection of the hottest terms); the
+        # cross-doc vectorized slop DP is what's being measured. The build
+        # resumes from /tmp across runs — only the first run pays it.
+        from deces_dataprep_ray.index.query import search_phrase
+
+        pos_idx = f"/tmp/dcray_bench/posindex_{n_docs}"
+        t = time.time()
+        build_index(paths, pos_idx, num_buckets=64, salt_shards=8,
+                    batch_size=4096, store_positions=True)
+        queries["positional_index_build"] = round(time.time() - t, 3)
+        pr = IndexReader(pos_idx)
+        phrases = ["term1 term2", "term2 term1", "term1 term2 term3",
+                   "term10 term11", "term3 term1"]
+        search_phrase(pr, phrases[0], 10)  # warm decode caches
+        lat_ph, lat_sl = [], []
+        for q in phrases:
+            t = time.time()
+            search_phrase(pr, q, 10)
+            lat_ph.append(time.time() - t)
+        for q in phrases:
+            t = time.time()
+            search_phrase(pr, q, 10, slop=2)
+            lat_sl.append(time.time() - t)
+        queries["query_phrase_p50"] = round(statistics.median(lat_ph), 4)
+        queries["query_phrase_slop2_p50"] = round(statistics.median(lat_sl), 4)
+
     man = reader.manifest
     n_postings = man.phase("postings").get("n_postings", 0)
     phase_seconds = {k: v.get("seconds") for k, v in man.doc["phases"].items()}
@@ -250,7 +280,18 @@ def _hw_capacity_ratio(lo: int = 8, hi: int = 32) -> float:
 
 
 def run_scaling(sf_dir: str) -> dict:
-    env_base = dict(os.environ, GRAFT_SF_DIR=sf_dir, BENCH_HEADLINE_ONLY="1")
+    """Two-parallelism-level scaling protocol, median-of-N per leg.
+
+    N samples per leg (SCALING_SAMPLES, default 5) run INTERLEAVED
+    (8,32,8,32,…) so a host-contention window hits both legs symmetrically
+    instead of biasing one. Each sample is a single fresh-process build
+    (BENCH_BUILD_RUNS=1 — the cross-sample median absorbs noise). The
+    clean-run criterion is mechanical, not narrative: a sample is flagged
+    `contended` when its build wall deviates > 25% from its leg's median;
+    a secondary median over clean samples only is reported alongside."""
+    env_base = dict(os.environ, GRAFT_SF_DIR=sf_dir, BENCH_HEADLINE_ONLY="1",
+                    BENCH_BUILD_RUNS="1")
+    n_samples = int(os.environ.get("SCALING_SAMPLES", "5"))
 
     def one(ncpu: int) -> dict:
         env = dict(env_base, RAY_GRAFT_CPUS=str(ncpu))
@@ -260,27 +301,61 @@ def run_scaling(sf_dir: str) -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    hw_ratio = _hw_capacity_ratio(8, 32)
-    lo, hi = one(8), one(32)
-    rate_lo = lo["docs_per_sec"]
-    rate_hi = hi["docs_per_sec"]
-    speedup = rate_hi / rate_lo
+    # hardware capacity is calibrated BEFORE EVERY interleaved sample pair:
+    # host contention arrives in multi-minute waves here, so a single
+    # up-front ratio misrepresents later samples; the median ratio is used
+    # for the vs-hw figure and the per-sample ratios are reported raw
+    hw_ratios: list[float] = []
+    samples: dict[int, list[dict]] = {8: [], 32: []}
+    for _ in range(n_samples):
+        hw_ratios.append(_hw_capacity_ratio(8, 32))
+        for ncpu in (8, 32):  # interleave legs
+            samples[ncpu].append(one(ncpu))
+    hw_ratio = statistics.median(hw_ratios)
+
+    def leg(ncpu: int) -> dict:
+        walls = [s["value"] for s in samples[ncpu]]
+        med = statistics.median(walls)
+        flags = [abs(w - med) / med > 0.25 for w in walls]
+        clean = [w for w, f in zip(walls, flags) if not f] or walls
+        phases: dict[str, float] = {}
+        for ph in (samples[ncpu][0].get("phase_seconds") or {}):
+            vals = [s["phase_seconds"].get(ph) for s in samples[ncpu]
+                    if s.get("phase_seconds", {}).get(ph) is not None]
+            if vals:
+                phases[ph] = round(statistics.median(vals), 3)
+        return {
+            "walls": [round(w, 3) for w in walls],
+            "median_wall": round(med, 3),
+            "median_docs_per_sec": round(samples[ncpu][0]["docs"] / med, 1),
+            "contended_flags": flags,
+            "clean_median_wall": round(statistics.median(clean), 3),
+            "phase_seconds_median": phases,
+        }
+
+    lo, hi = leg(8), leg(32)
+    docs = samples[8][0]["docs"]
+    speedup = lo["median_wall"] / hi["median_wall"]
     eff = speedup / (32 / 8)
+    clean_speedup = lo["clean_median_wall"] / hi["clean_median_wall"]
     return {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
         "unit": "ratio",
         "efficiency_vs_hw_capacity": round(speedup / hw_ratio, 3),
+        "clean_efficiency": round(clean_speedup / (32 / 8), 3),
+        "clean_efficiency_vs_hw_capacity": round(clean_speedup / hw_ratio, 3),
         "hw_capacity_ratio_8_to_32": round(hw_ratio, 3),
-        "sec_8cpu": lo["value"],
-        "sec_32cpu": hi["value"],
-        "docs_per_sec_8cpu": rate_lo,
-        "docs_per_sec_32cpu": rate_hi,
-        "docs": lo["docs"],
-        "sf": lo["sf"],
-        "phase_seconds_8cpu": lo.get("phase_seconds"),
-        "phase_seconds_32cpu": hi.get("phase_seconds"),
-        "queries": {"build_8cpu": lo["value"], "build_32cpu": hi["value"]},
+        "hw_capacity_ratios_per_sample": [round(r, 3) for r in hw_ratios],
+        "samples_per_leg": n_samples,
+        "leg_8cpu": lo,
+        "leg_32cpu": hi,
+        "docs": docs,
+        "sf": samples[8][0]["sf"],
+        "docs_per_sec_8cpu": lo["median_docs_per_sec"],
+        "docs_per_sec_32cpu": hi["median_docs_per_sec"],
+        "queries": {"build_8cpu": lo["median_wall"],
+                    "build_32cpu": hi["median_wall"]},
     }
 
 

@@ -257,43 +257,68 @@ class AnalyzeDocs:
 
 
 def _analyze_with_positions(texts, folder):
-    """Single-pass positional analysis: tokenize once, derive per-doc unique
-    terms, tfs AND 0-based token positions (term-major, first-occurrence
-    term order). Positions are capped at 255 per posting to stay consistent
-    with the shuffle's uint8 tf quantization. Slower than the flat
-    analyze_batch path (per-token Python dict pass) — the documented cost of
-    store_positions=True."""
+    """Single-pass positional analysis, fully vectorized: tokenize once,
+    then ONE lexsort over the batch's flat token stream groups each doc's
+    postings (ascending positions within each (doc, term) group) — no
+    per-token Python. Per-doc term order is the batch factorize order
+    (deterministic for a given input + batch_size; nothing downstream
+    depends on within-doc term order — the shuffle re-sorts by (term, doc)).
+    Positions are capped at 255 per posting to stay consistent with the
+    shuffle's uint8 tf quantization — the documented phrase-recall cap."""
+    import pandas as pd
+
     from ..functions.analysis import tokenize_many
 
     tok_lists = tokenize_many(texts, folder)
-    terms_l: list[str] = []
-    tfs_l: list[int] = []
-    pos_parts: list[list[int]] = []
-    offsets = np.zeros(len(texts) + 1, np.int64)
-    dl = np.zeros(len(texts), np.uint32)
-    for d, toks in enumerate(tok_lists):
-        by_term: dict[str, list[int]] = {}
-        for i, t in enumerate(toks):
-            by_term.setdefault(t, []).append(i)
-        dl[d] = len(toks)
-        for t, plist in by_term.items():
-            terms_l.append(t)
-            tfs_l.append(len(plist))
-            pos_parts.append(plist[:255])
-        offsets[d + 1] = len(terms_l)
-    pos_lens = np.fromiter((len(p) for p in pos_parts), np.int64,
-                           len(pos_parts))
-    doc_pos_lens = np.zeros(len(texts), np.int64)
-    np.add.at(doc_pos_lens,
-              np.repeat(np.arange(len(texts)), np.diff(offsets)), pos_lens)
-    pos_off = np.zeros(len(texts) + 1, np.int64)
+    n = len(texts)
+    doc_lens = np.fromiter((len(t) for t in tok_lists), np.int64, n)
+    dl = doc_lens.astype(np.uint32)
+    total = int(doc_lens.sum())
+    if total == 0:
+        off = np.zeros(n + 1, np.int64)
+        tpos = pa.LargeListArray.from_arrays(
+            pa.array(off, pa.int64()), pa.array([], pa.uint32()))
+        return (np.empty(0, object), np.empty(0, np.uint32), off, dl, tpos)
+    flat = np.empty(total, object)
+    at = 0
+    for toks in tok_lists:
+        flat[at: at + len(toks)] = toks
+        at += len(toks)
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), doc_lens)
+    doc_starts = np.zeros(n + 1, np.int64)
+    np.cumsum(doc_lens, out=doc_starts[1:])
+    pos_in_doc = np.arange(total, dtype=np.int64) - doc_starts[doc_idx]
+    codes, uq = pd.factorize(flat, sort=False)
+    order = np.lexsort((pos_in_doc, codes, doc_idx))
+    d_s = doc_idx[order]
+    c_s = codes[order]
+    p_s = pos_in_doc[order]
+    change = np.empty(total, bool)
+    change[0] = True
+    np.not_equal(d_s[1:], d_s[:-1], out=change[1:])
+    change[1:] |= c_s[1:] != c_s[:-1]
+    starts = np.flatnonzero(change)
+    group_lens = np.diff(np.concatenate((starts, [total])))
+    terms_flat = np.asarray(uq, object)[c_s[starts]]
+    tfs = group_lens.astype(np.uint32)
+    posting_doc = d_s[starts]
+    offsets = np.searchsorted(posting_doc,
+                              np.arange(n + 1, dtype=np.int64)
+                              ).astype(np.int64)
+    # positions: first min(tf, 255) of each group, already ascending
+    keep_lens = np.minimum(group_lens, 255)
+    ends = np.cumsum(keep_lens)
+    tot_pos = int(ends[-1])
+    idx = (np.repeat(starts, keep_lens)
+           + np.arange(tot_pos) - np.repeat(ends - keep_lens, keep_lens))
+    flat_pos = p_s[idx].astype(np.uint32)
+    doc_pos_lens = np.zeros(n, np.int64)
+    np.add.at(doc_pos_lens, posting_doc, keep_lens)
+    pos_off = np.zeros(n + 1, np.int64)
     np.cumsum(doc_pos_lens, out=pos_off[1:])
-    flat = (np.concatenate([np.asarray(p, np.uint32) for p in pos_parts])
-            if pos_parts else np.empty(0, np.uint32))
     tpos = pa.LargeListArray.from_arrays(
-        pa.array(pos_off, pa.int64()), pa.array(flat, pa.uint32()))
-    return (np.asarray(terms_l, dtype=object),
-            np.asarray(tfs_l, dtype=np.uint32), offsets, dl, tpos)
+        pa.array(pos_off, pa.int64()), pa.array(flat_pos, pa.uint32()))
+    return (terms_flat, tfs, offsets, dl, tpos)
 
 
 # Task-pool variants: Ray reuses warm worker processes across tasks and
@@ -1120,11 +1145,7 @@ def compact_head_segments(index_dir: str) -> int:
     man = Manifest.load(index_dir)
     if man is None:
         raise FileNotFoundError(f"no manifest at {index_dir}")
-    if man.doc["config"].get("store_positions"):
-        raise NotImplementedError(
-            "head compaction does not yet carry position streams — serve "
-            "positional indexes from their salted segments (the scale "
-            "representation) instead of compacting")
+    store_pos = bool(man.doc["config"].get("store_positions"))
     heads = list(man.phase("head_terms")["terms"])
     if not heads:
         man.mark_done("head_compact", terms=0)
@@ -1136,9 +1157,16 @@ def compact_head_segments(index_dir: str) -> int:
     # avgdl, exactly as build_bucket did
     favg = {f: (float(v["avgdl"]) or 1.0)
             for f, v in reader.field_stats.items()}
-    rows: dict[str, list] = {name: [] for name in BUCKET_SCHEMA.names}
+    schema = bucket_schema(store_pos)
+    rows: dict[str, list] = {name: [] for name in schema.names}
     for term in heads:
-        docs, tfs, dls = reader.postings(term)
+        if store_pos:
+            # the reader's ordered segment concat keeps positions aligned
+            # with the merged posting order — re-encode both streams
+            docs, tfs, dls, flat_pos, _off = \
+                reader.postings_with_positions(term)
+        else:
+            docs, tfs, dls = reader.postings(term)
         if len(docs) == 0:
             continue
         avgdl_t = favg.get(term.split(":", 1)[0], float(stats["avgdl"]) or 1.0)
@@ -1152,9 +1180,13 @@ def compact_head_segments(index_dir: str) -> int:
         for k in ("doc_bytes", "tf_bytes", "dl_bytes", "blk_last", "blk_max_w",
                   "blk_count", "blk_off_doc", "blk_off_tf", "blk_off_dl"):
             rows[k].append(enc[k])
+        if store_pos:
+            lens = np.minimum(tfs, 255).astype(np.int64)
+            rows["pos_bytes"].append(
+                encode_positions(flat_pos.astype(np.uint32), lens))
     out = pa.table(
-        {name: pa.array(rows[name], BUCKET_SCHEMA.field(name).type)
-         for name in BUCKET_SCHEMA.names}
+        {name: pa.array(rows[name], schema.field(name).type)
+         for name in schema.names}
     ).sort_by([("term", "ascending")])
     hdir = os.path.join(index_dir, "head")
     os.makedirs(hdir, exist_ok=True)

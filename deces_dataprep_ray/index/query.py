@@ -644,7 +644,7 @@ def _gather_candidate_positions(
 
 def search_phrase(
     reader: IndexReader, phrase: str, k: int = 10, slop: int = 0,
-    field: str | None = None,
+    field: str | None = None, filters: list | None = None,
 ) -> list[tuple[int, float]]:
     """Phrase query (ES ``match_phrase``) over a positional index.
 
@@ -660,6 +660,12 @@ def search_phrase(
     field's token stream, and scoring uses the field's docCount/avgdl
     (per-field norms, matching ``search_fields``). ``None`` = the
     single-field index layout.
+
+    ``filters``: the same filter objects ``search_fields`` takes
+    (KeywordFilter / NotKeywordFilter / RangeFilter / GeoRadiusFilter) —
+    ES bool query with a ``match_phrase`` must clause plus filter context.
+    Applied to the intersection BEFORE the position DP, so filtered-out
+    docs never pay position gathering.
 
     Recall cap: the index stores at most 255 positions per posting (the
     uint8 tf quantization, `build.py _analyze_with_positions`), so a phrase
@@ -699,6 +705,18 @@ def search_phrase(
         inter = np.intersect1d(inter, data[t][0], assume_unique=True)
         if not len(inter):
             return []
+
+    if filters:
+        from .fielded import _filter_mask, _resolve_filters
+
+        allow, exclude = _resolve_filters(reader, filters)
+        if allow is not None and not len(allow):
+            return []
+        mask = _filter_mask(inter, allow, exclude)
+        if mask is not None:
+            inter = inter[mask]
+            if not len(inter):
+                return []
 
     # ordered-slop DP, one vectorized pass per phrase token over ALL
     # candidate docs at once: U[p] = minimum total gap of any in-order chain

@@ -43,10 +43,12 @@ class _QueryWorker:
         return _sf(self.reader, matches, k, filters=filters,
                    algorithm=algorithm)
 
-    def search_phrase(self, phrase: str, k: int = 10, slop: int = 0):
+    def search_phrase(self, phrase: str, k: int = 10, slop: int = 0,
+                      field=None, filters=None):
         from .query import search_phrase as _sp
 
-        return _sp(self.reader, phrase, k, slop=slop)
+        return _sp(self.reader, phrase, k, slop=slop, field=field,
+                   filters=filters)
 
     def search_fuzzy(self, query: str, k: int = 10, max_dist: int = 1):
         from .query import search_fuzzy as _sf
@@ -76,9 +78,13 @@ class QueryService:
         return ray.get(next(self._rr).search_fields.remote(
             matches, k, filters, algorithm))
 
-    def search_phrase(self, phrase: str, k: int = 10, slop: int = 0):
-        """Phrase query (positional indexes only)."""
-        return ray.get(next(self._rr).search_phrase.remote(phrase, k, slop))
+    def search_phrase(self, phrase: str, k: int = 10, slop: int = 0,
+                      field=None, filters=None):
+        """Phrase query (positional indexes only); ``field`` scopes it to
+        one field of a fielded positional index, ``filters`` add ES bool
+        filter context (objects pickle to the worker)."""
+        return ray.get(next(self._rr).search_phrase.remote(
+            phrase, k, slop, field, filters))
 
     def search_fuzzy(self, query: str, k: int = 10, max_dist: int = 1):
         return ray.get(next(self._rr).search_fuzzy.remote(query, k, max_dist))

@@ -101,10 +101,25 @@ def test_non_positional_index_refuses(built_index):
         r.postings_with_positions("term1")
 
 
-def test_positional_compaction_guarded(phrase_setup):
-    _, idx = phrase_setup
-    with pytest.raises(NotImplementedError):
-        compact_head_segments(idx)
+def test_positional_head_compaction_preserves_phrases(phrase_setup, tmp_path):
+    # compaction re-encodes head terms' postings AND position streams into
+    # head/part.parquet — phrase results must be byte-identical before/after
+    import shutil as _sh
+
+    df, idx = phrase_setup
+    cidx = str(tmp_path / "cidx")
+    _sh.copytree(idx, cidx)
+    r1 = IndexReader(cidx)
+    assert r1.head_terms, "fixture should produce salted head terms"
+    head = sorted(r1.head_terms)[0]
+    queries = [(f"{head} data", 0), ("data spark", 0), ("data window", 2)]
+    before = [search_phrase(r1, q, 50, slop=s) for q, s in queries]
+    n = compact_head_segments(cidx)
+    assert n > 0
+    r2 = IndexReader(cidx)
+    assert r2.head_compacted
+    after = [search_phrase(r2, q, 50, slop=s) for q, s in queries]
+    assert after == before
 
 
 # --- fielded × positional: phrase on one field of a per-field mapping ------
@@ -194,6 +209,42 @@ def test_fielded_phrase_unknown_field_empty(fielded_phrase_setup):
     _, idx = fielded_phrase_setup
     r = IndexReader(idx)
     assert search_phrase(r, "data spark", 10, field="nope") == []
+
+
+def test_phrase_with_filters(fielded_phrase_setup):
+    # bool query: match_phrase must + keyword filter context (the
+    # reference's dominant query shape composed with phrase)
+    from deces_dataprep_ray.index.fielded import (
+        KeywordFilter,
+        NotKeywordFilter,
+    )
+    from deces_dataprep_ray.index.service import QueryService
+
+    df, idx = fielded_phrase_setup
+    r = IndexReader(idx)
+    unfiltered = _brute_field_phrase(df, "body", "data spark", k=10**6)
+    lang = {doc_id_from_url(u): l for u, l in zip(df["url"], df["lang"])}
+
+    got = search_phrase(r, "data spark", 1000, field="body",
+                        filters=[KeywordFilter("lang", "en")])
+    want = [(d, s) for d, s in unfiltered if lang[d] == "en"][:1000]
+    assert [(d, round(s, 9)) for d, s in got] == \
+           [(d, round(s, 9)) for d, s in want]
+
+    got2 = search_phrase(r, "data spark", 1000, field="body",
+                         filters=[NotKeywordFilter("lang", "en")])
+    want2 = [(d, s) for d, s in unfiltered if lang[d] != "en"][:1000]
+    assert [(d, round(s, 9)) for d, s in got2] == \
+           [(d, round(s, 9)) for d, s in want2]
+
+    # the serving pool forwards field= and filters=
+    svc = QueryService(idx, num_workers=2)
+    try:
+        assert svc.search_phrase("data spark", 1000, field="body",
+                                 filters=[KeywordFilter("lang", "en")]) \
+            == got
+    finally:
+        svc.shutdown()
 
 
 def test_fielded_positional_resume(fielded_phrase_setup):
