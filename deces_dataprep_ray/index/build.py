@@ -925,32 +925,7 @@ def build_index(
             man.mark_done("docvalues", seconds=_took(), dir="docvalues", rows=0)
         return man
 
-    # --- Phase B: term dictionary (df/cf pre-pass) ------------------------
     termstats_dir = os.path.join(index_dir, "termstats")
-    if not man.phase_done("termstats"):
-        df_ds = (
-            rd.read_parquet(analyzed_dir, columns=["terms"],
-                            override_num_blocks=nblocks)
-            # 4x batches: partial rows per batch ≈ the batch's vocabulary,
-            # so bigger batches shrink the string-keyed aggregate's input
-            .map_batches(_df_partials, batch_format="pyarrow",
-                         batch_size=batch_size * 4)
-            .groupby("term", num_partitions=min(16, nblocks))
-            .aggregate(Sum("df", alias_name="df"))
-        )
-        tmp_dir = termstats_dir + ".tmp"
-        for d in (tmp_dir, termstats_dir):
-            if os.path.exists(d):
-                shutil.rmtree(d)
-        df_ds.write_parquet(tmp_dir)
-        os.makedirs(tmp_dir, exist_ok=True)  # empty dataset writes nothing
-        os.replace(tmp_dir, termstats_dir)
-        n_terms = sum(
-            pq.read_metadata(os.path.join(termstats_dir, f)).num_rows
-            for f in os.listdir(termstats_dir)
-            if f.endswith(".parquet")
-        )
-        man.mark_done("termstats", dir="termstats", n_terms=int(n_terms), seconds=_took())
 
     # --- Phase C: global doc stats (N from analyzed parquet row counts,
     # total tokens = Σ over the cheap uint32 dl column) --------------------
@@ -1016,31 +991,47 @@ def build_index(
         avgdl_map = {f: (float(v["avgdl"]) or 1.0)
                      for f, v in man.phase("fieldstats")["fields"].items()}
 
+    # --- Phase B: head-term DETECTION (sampled df pre-pass) ---------------
+    # Heads only need detection for shuffle routing, not exact counts: a
+    # deterministic ~10% file sample bounds this pre-pass at a tenth of a
+    # full token scan, with a 2x threshold margin absorbing sampling noise
+    # (an over-detected head is merely salted — harmless; the EXACT term
+    # dictionary is derived from the bucket outputs after the postings
+    # phase, so no second full-corpus token scan exists anywhere).
     if not man.phase_done("head_terms"):
         min_df = head_min_df
         if min_df is None:
             min_df = max(64, int(stats["n_docs"] * head_df_ratio))
-        if any(f.endswith(".parquet") for f in os.listdir(termstats_dir)):
-            import pyarrow.dataset as pa_dataset
-
-            heads_tbl = pa_dataset.dataset(termstats_dir).to_table(
-                filter=pc.field("df") >= int(min_df)
-            )
-        else:
-            heads_tbl = pa.table({"term": pa.array([], pa.large_string()),
-                                  "df": pa.array([], pa.int64())})
-        heads = sorted(heads_tbl["term"].to_pylist())
+        files = sorted(f for f in os.listdir(analyzed_dir)
+                       if f.endswith(".parquet"))
+        sample = files[::10] or files
+        sample_paths = [os.path.join(analyzed_dir, f) for f in sample]
+        sample_rows = sum(pq.read_metadata(p).num_rows for p in sample_paths)
+        frac = (sample_rows / stats["n_docs"]) if stats["n_docs"] else 1.0
+        thresh = max(1, int(min_df * frac * 0.5))
+        heads_tbl = (
+            rd.read_parquet(sample_paths, columns=["terms"],
+                            override_num_blocks=max(len(sample_paths),
+                                                    nblocks // 4))
+            .map_batches(_df_partials, batch_format="pyarrow",
+                         batch_size=batch_size * 4)
+            .groupby("term", num_partitions=4)
+            .aggregate(Sum("df", alias_name="df"))
+            .filter(expr=f"df >= {int(thresh)}")
+            .to_pandas()
+        )
+        if "term" not in heads_tbl.columns:  # empty result loses its schema
+            heads_tbl = heads_tbl.reindex(columns=["term", "df"])
+        heads = sorted(heads_tbl["term"])
         man.mark_done(
             "head_terms",
             seconds=_took(),
             min_df=int(min_df),
+            sample_frac=round(frac, 4),
+            sample_threshold=int(thresh),
             terms=heads,
-            dfs={
-                t: int(d)
-                for t, d in zip(
-                    heads_tbl["term"].to_pylist(), heads_tbl["df"].to_pylist()
-                )
-            },
+            sample_dfs={t: int(d) for t, d in
+                        zip(heads_tbl["term"], heads_tbl["df"])},
         )
     heads = list(man.phase("head_terms")["terms"])
 
@@ -1050,9 +1041,16 @@ def build_index(
         head_ref = ray.put(heads)
         emit_cols = ["doc_id", "dl", "terms", "tfs"] + (["tdls"] if fielded else []) \
             + (["tpos"] if store_positions else [])
+        # the map fan-in to a B-partition shuffle tracks the REDUCE width
+        # (data partitioning), never the worker count: map_blocks × B is the
+        # exchange's object count, and letting map_blocks scale with CPUs
+        # gives bigger clusters a strictly more expensive shuffle for the
+        # same data — 2×B keeps the physical exchange identical at every
+        # cluster size (workers stay busy: blocks queue across the pool)
+        emit_blocks = 2 * num_buckets
         emit = rd.read_parquet(
             analyzed_dir, columns=emit_cols,
-            override_num_blocks=nblocks,
+            override_num_blocks=emit_blocks,
         ).map_batches(
             _emit_partials_fn,
             fn_kwargs={
@@ -1101,6 +1099,62 @@ def build_index(
             n_postings=int(sum(v["n_postings"] for v in buckets.values())),
             bytes=int(sum(v["bytes"] for v in buckets.values())),
         )
+
+    # --- Phase B2: exact term dictionary, DERIVED from the buckets --------
+    # A non-head term lives in exactly ONE bucket with ONE (seg=0) row, so
+    # its bucket-row df IS its exact df: the dictionary is a column-pruned
+    # streaming map over the buckets' (term, df) columns — no shuffle, no
+    # second token scan (the old pre-pass re-read every terms list: ~20% of
+    # build wall). Head terms (few, listed in the manifest) are the only
+    # rows needing a cross-bucket sum — merged driver-side from a
+    # predicate-pushdown read.
+    if not man.phase_done("termstats"):
+        import pyarrow.dataset as pa_dataset
+
+        bucket_paths = [
+            os.path.join(bucket_dir(index_dir, bkt), "part.parquet")
+            for bkt in range(num_buckets)
+        ]
+        bucket_paths = [p for p in bucket_paths if os.path.exists(p)]
+        tmp_dir = termstats_dir + ".tmp"
+        for d in (tmp_dir, termstats_dir):
+            if os.path.exists(d):
+                shutil.rmtree(d)
+        head_arr = pa.array(sorted(heads), pa.large_string())
+
+        def _nonhead_stats(t: pa.Table) -> pa.Table:
+            keep = (pc.invert(pc.is_in(t["term"], value_set=head_arr))
+                    if len(head_arr) else None)
+            if keep is not None:
+                t = t.filter(keep)
+            return pa.table({"term": t["term"], "df": t["df"]})
+
+        if bucket_paths:
+            (rd.read_parquet(bucket_paths, columns=["term", "df"],
+                             override_num_blocks=len(bucket_paths))
+             .map_batches(_nonhead_stats, batch_format="pyarrow")
+             .write_parquet(tmp_dir))
+        os.makedirs(tmp_dir, exist_ok=True)
+        if heads and bucket_paths:
+            head_rows = pa_dataset.dataset(bucket_paths).to_table(
+                columns=["term", "df"],
+                filter=pc.field("term").isin(heads))
+            import pandas as pd
+
+            agg = (head_rows.to_pandas().groupby("term", as_index=False)
+                   ["df"].sum())
+            pq.write_table(
+                pa.table({"term": pa.array(agg["term"], pa.large_string()),
+                          "df": pa.array(agg["df"], pa.int64())}),
+                os.path.join(tmp_dir, "head_terms.parquet"))
+        os.replace(tmp_dir, termstats_dir)
+        n_terms = sum(
+            pq.read_metadata(os.path.join(termstats_dir, f)).num_rows
+            for f in os.listdir(termstats_dir)
+            if f.endswith(".parquet")
+        )
+        man.mark_done("termstats", dir="termstats", n_terms=int(n_terms),
+                      seconds=_took())
 
     # --- Phase E: docvalues store (doc_id-sorted url/dl + typed columns) --
     # Replaces per-query scans of the analyzed checkpoint: url resolution is
