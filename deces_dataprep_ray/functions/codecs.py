@@ -20,21 +20,28 @@ _SEVEN = _U64(7)
 _MASK7 = _U64(0x7F)
 
 
-def vb_encode(values: np.ndarray) -> bytes:
-    """Varbyte-encode an array of unsigned 64-bit ints (LSB-first, 0x80 = continue)."""
+def vb_encode(values: np.ndarray, lengths: np.ndarray | None = None) -> bytes:
+    """Varbyte-encode an array of unsigned 64-bit ints (LSB-first, 0x80 = continue).
+
+    ``lengths`` (optional) is the precomputed :func:`vb_lengths` of ``values``
+    — callers that also need byte offsets pass it in so the lengths pass runs
+    once, not twice. The work matrix is sized to the stream's ACTUAL maximum
+    width (1 for small tf/dl streams, up to 10 for sparse doc-id deltas)
+    instead of a fixed (n, 10): the encoder is memory-bandwidth-bound under
+    concurrency, so traffic proportional to real width is what scales."""
     v = np.ascontiguousarray(values, dtype=_U64)
     n = v.size
     if n == 0:
         return b""
-    # byte-length per value: 1 + number of 7-bit groups above the first
-    nb = np.ones(n, dtype=np.int8)
-    for k in range(1, 10):
-        nb += (v >= _U64(1) << _U64(7 * k)).astype(np.int8)
-    out = np.zeros((n, 10), dtype=np.uint8)
-    for k in range(10):
+    nb = vb_lengths(v) if lengths is None else lengths
+    width = int(nb.max())
+    if width == 1:  # every value fits 7 bits — no continuation bytes at all
+        return v.astype(np.uint8).tobytes()
+    out = np.zeros((n, width), dtype=np.uint8)
+    for k in range(width):
         out[:, k] = ((v >> _U64(7 * k)) & _MASK7).astype(np.uint8)
     # continuation bit on every byte except each value's last
-    cols = np.arange(10, dtype=np.int8)
+    cols = np.arange(width, dtype=np.int64)
     keep = cols[None, :] < nb[:, None]
     cont = cols[None, :] < (nb - 1)[:, None]
     out[cont] |= 0x80
@@ -75,11 +82,15 @@ def vb_decode(buf: bytes | memoryview | np.ndarray, count: int | None = None) ->
 
 
 def vb_lengths(values: np.ndarray) -> np.ndarray:
-    """Encoded byte length per value (1..10), vectorized."""
+    """Encoded byte length per value (1..10), vectorized; stops at the
+    stream's actual width (tf/dl streams are 1-2 wide, not 10)."""
     v = np.ascontiguousarray(values, dtype=_U64)
     nb = np.ones(v.size, dtype=np.int64)
     for k in range(1, 10):
-        nb += (v >= _U64(1) << _U64(7 * k)).astype(np.int64)
+        m = v >= _U64(1) << _U64(7 * k)
+        if not m.any():
+            break
+        nb += m
     return nb
 
 

@@ -53,7 +53,12 @@ import ray.data as rd
 from ray.data.aggregate import Sum
 
 from ..functions.analysis import analyze_batch
-from ..functions.codecs import encode_positions, encode_postings_blocks
+from ..functions.codecs import (
+    encode_positions,
+    encode_postings_blocks,
+    vb_encode,
+    vb_lengths,
+)
 from ..functions.ids import doc_ids_from_urls, term_buckets
 from ..state.manifest import (
     OK_NAME,
@@ -372,22 +377,22 @@ def _emit_partials_fn(
 def _df_partials(batch: pa.Table) -> pa.Table:
     """Per-batch partial document frequencies: one (term, df) row per unique
     term per batch — the map-side combine that keeps the termstats groupby
-    small. Terms are per-doc unique in ``analyzed``, so a bincount over
-    factorize codes is the per-batch df. (Collection frequency is NOT
+    small. Terms are per-doc unique in ``analyzed``, so an Arrow
+    ``value_counts`` over the flat term stream is the per-batch df. (Collection frequency is NOT
     computed here: per-term cf already falls out of the postings reduce, and
     the global token count is Σdl over the cheap uint32 ``dl`` column — so
     this pass reads ONLY the ``terms`` column, skipping the tf lists.)"""
-    import pandas as pd
-
     col = batch["terms"].combine_chunks()
-    flat = col.flatten().to_numpy(zero_copy_only=False)
+    flat = col.flatten()
     if len(flat) == 0:
         return pa.table({"term": pa.array([], pa.large_string()),
                          "df": pa.array([], pa.int64())})
-    codes, uq = pd.factorize(flat, sort=False)
-    cnt = np.bincount(codes, minlength=len(uq))
-    return pa.table({"term": pa.array(np.asarray(uq, object), pa.large_string()),
-                     "df": pa.array(cnt, pa.int64())})
+    # Arrow-native value_counts: no per-token Python objects (a flatten to
+    # an object ndarray materializes one PyObject per token — measured as
+    # allocator/DRAM churn that anti-scales past ~8 concurrent workers)
+    vc = pc.value_counts(flat)
+    return pa.table({"term": vc.field("values"),
+                     "df": vc.field("counts").cast(pa.int64())})
 
 
 # ---------------------------------------------------------------------------
@@ -434,7 +439,7 @@ class EmitPartials:
         tbl = batch.combine_chunks()
         terms_col = tbl["terms"].combine_chunks()
         tfs_col = tbl["tfs"].combine_chunks()
-        flat_terms = terms_col.flatten().to_numpy(zero_copy_only=False)
+        flat_terms = terms_col.flatten()  # stays Arrow — see factorize below
         flat_tfs = tfs_col.flatten().to_numpy(zero_copy_only=False).astype(np.uint32)
         lens = pc.list_value_length(terms_col).to_numpy().astype(np.int64)
         doc_rep = np.repeat(tbl["doc_id"].to_numpy(), lens).astype(np.uint64)
@@ -456,10 +461,14 @@ class EmitPartials:
         if len(flat_terms) == 0:
             return _empty_partials(with_pos)
 
-        import pandas as pd
-
-        inv, uq = pd.factorize(flat_terms, sort=False)
-        uq = np.asarray(uq, dtype=object)
+        # Arrow dictionary_encode instead of pandas factorize over an object
+        # ndarray: factorize needs one Python str per token (~200x the batch's
+        # unique count under a Zipf vocabulary) — that allocation churn is
+        # pure overhead AND is DRAM-bound, so it anti-scales with worker
+        # count. Only the per-batch UNIQUES become Python strings here.
+        denc = pc.dictionary_encode(flat_terms)
+        inv = denc.indices.to_numpy().astype(np.int64)
+        uq = denc.dictionary.to_numpy(zero_copy_only=False)
         buckets_uq = term_buckets(uq, self.num_buckets).astype(np.int64)
         head_row_uq = np.full(len(uq), -1, dtype=np.int64)
         for i, t in enumerate(uq):
@@ -625,83 +634,155 @@ def build_bucket(
         pos_len = np.minimum(flat_tfs, 255).astype(np.int64)
         pos_start = np.cumsum(pos_len) - pos_len
 
-    terms = tbl["term"].to_numpy(zero_copy_only=False)
     segs = tbl["seg"].to_numpy()
-    # factorize (term, seg) at row level, then explode to postings
-    tcodes, uq_terms = _factorize(terms)
-    row_key = tcodes.astype(np.int64) * np.int64(1 << 20) + segs.astype(np.int64)
+    # factorize (term, seg) at row level, then explode to postings —
+    # Arrow-native: only the bucket's unique terms become Python strings
+    tdenc = pc.dictionary_encode(tbl["term"].combine_chunks())
+    tcodes = tdenc.indices.to_numpy().astype(np.int64)
+    uq_terms = tdenc.dictionary.to_numpy(zero_copy_only=False)
+    row_key = tcodes * np.int64(1 << 20) + segs.astype(np.int64)
     key_rep = np.repeat(row_key, lens)
     order = np.lexsort((flat_docs, key_rep))
     key_s = key_rep[order]
     docs_s = flat_docs[order]
     tfs_s = flat_tfs[order]
     dls_s = flat_dls[order]
-    # fielded mode defers the weight to the per-group loop where the term's
-    # FIELD avgdl is known; single-field precomputes once over the bucket
-    weights_s = (bm25_weight(tfs_s, dls_s, avgdl, k1, b)
-                 if avgdl_map is None else None)
 
-    change = np.empty(len(key_s), dtype=bool)
-    if len(key_s):
+    # duplicate doc_ids for a term can only come from duplicate input rows
+    # (same url read twice); keep first occurrence for idempotence — the
+    # reference gets the same via ES _id upsert (deces_dataprep.yml:14-15)
+    n0 = len(key_s)
+    if n0:
+        dup = np.zeros(n0, dtype=bool)
+        np.equal(key_s[1:], key_s[:-1], out=dup[1:])
+        dup[1:] &= docs_s[1:] == docs_s[:-1]
+        if dup.any():
+            keepm = ~dup
+            key_s = key_s[keepm]
+            docs_s = docs_s[keepm]
+            tfs_s = tfs_s[keepm]
+            dls_s = dls_s[keepm]
+            order = order[keepm]
+    n = len(key_s)
+
+    change = np.empty(n, dtype=bool)
+    if n:
         change[0] = True
         np.not_equal(key_s[1:], key_s[:-1], out=change[1:])
     starts = np.flatnonzero(change)
-    bounds = np.concatenate((starts, [len(key_s)])).astype(np.int64)
+    bounds = np.concatenate((starts, [n])).astype(np.int64)
+    n_groups = len(starts)
+
+    # BM25 weight per posting — vectorized over the whole bucket. Fielded
+    # mode maps each unique term's FIELD avgdl through its dictionary code
+    # (numpy broadcasts a per-posting avgdl array through bm25_weight).
+    if avgdl_map is None:
+        weights_s = bm25_weight(tfs_s, dls_s, avgdl, k1, b)
+    else:
+        avgdl_uq = np.asarray(
+            [(avgdl_map.get(str(t).split(":", 1)[0], avgdl) or 1.0)
+             for t in uq_terms], np.float64)
+        weights_s = bm25_weight(
+            tfs_s, dls_s, avgdl_uq[(key_s >> np.int64(20))], k1, b)
+
+    # --- whole-bucket stream encode (ONE varbyte pass per stream) ---------
+    # Per-group encodes concatenate to exactly these streams: within a group
+    # doc deltas chain, and each group's first value is absolute — so one
+    # bucket-wide delta array with group starts overwritten is byte-identical
+    # to the per-group encoding, at ~1/20 the Python/call overhead. This
+    # stage is memory-bandwidth-bound under concurrency (measured 3.5x
+    # per-task slowdown at 32 concurrent reducers): traffic, not cycles, is
+    # the scale axis.
+    deltas = np.empty_like(docs_s)
+    if n:
+        np.subtract(docs_s[1:], docs_s[:-1], out=deltas[1:])
+        deltas[starts] = docs_s[starts]
+    tfs64 = tfs_s.astype(np.uint64)
+    dls64 = dls_s.astype(np.uint64)
+    nb_doc = vb_lengths(deltas)
+    nb_tf = vb_lengths(tfs64)
+    nb_dl = vb_lengths(dls64)
+    doc_stream = vb_encode(deltas, nb_doc)
+    tf_stream = vb_encode(tfs64, nb_tf)
+    dl_stream = vb_encode(dls64, nb_dl)
+    cum_doc = np.zeros(n + 1, np.int64)
+    cum_tf = np.zeros(n + 1, np.int64)
+    cum_dl = np.zeros(n + 1, np.int64)
+    np.cumsum(nb_doc, out=cum_doc[1:])
+    np.cumsum(nb_tf, out=cum_tf[1:])
+    np.cumsum(nb_dl, out=cum_dl[1:])
+
+    # block grid (vectorized): blocks tile each group contiguously, so
+    # reduceat over global block starts yields per-block maxima directly
+    g_lens = bounds[1:] - bounds[:-1]
+    nblk_g = (g_lens + block_size - 1) // block_size
+    blk_prefix = np.zeros(n_groups + 1, np.int64)
+    np.cumsum(nblk_g, out=blk_prefix[1:])
+    tot_blk = int(blk_prefix[-1])
+    blk_group = np.repeat(np.arange(n_groups, dtype=np.int64), nblk_g)
+    blk_i = np.arange(tot_blk, dtype=np.int64) - blk_prefix[:-1][blk_group]
+    blk_starts = bounds[:-1][blk_group] + blk_i * block_size
+    blk_ends = np.minimum(blk_starts + block_size, bounds[1:][blk_group])
+    blk_last_all = docs_s[blk_ends - 1] if n else np.empty(0, np.uint64)
+    blk_maxw_all = (np.maximum.reduceat(weights_s, blk_starts)
+                    if tot_blk else np.empty(0, np.float64))
+    blk_count_all = (blk_ends - blk_starts).astype(np.int32)
+    g_lo = bounds[:-1][blk_group]
+    blk_off_doc_all = (cum_doc[blk_starts] - cum_doc[g_lo]).astype(np.uint32)
+    blk_off_tf_all = (cum_tf[blk_starts] - cum_tf[g_lo]).astype(np.uint32)
+    blk_off_dl_all = (cum_dl[blk_starts] - cum_dl[g_lo]).astype(np.uint32)
+    cf_g = (np.add.reduceat(tfs_s.astype(np.int64), starts)
+            if n else np.empty(0, np.int64))
+
+    if with_pos and n:
+        # whole-bucket position stream: gather each surviving posting's
+        # ascending position slice in sorted-posting order, delta-encode
+        # with a reset at every posting start (byte-identical to per-group
+        # encode_positions), one varbyte pass
+        l_o = pos_len[order]
+        s_o = pos_start[order]
+        p_ends = np.cumsum(l_o)
+        tot_pos = int(p_ends[-1]) if n else 0
+        gidx = (np.repeat(s_o, l_o)
+                + np.arange(tot_pos, dtype=np.int64)
+                - np.repeat(p_ends - l_o, l_o))
+        flat_p = flat_pos_all[gidx].astype(np.uint64)
+        p_starts = p_ends - l_o
+        d_pos = flat_p.copy()
+        if tot_pos:
+            d_pos[1:] -= flat_p[:-1]
+            d_pos[p_starts] = flat_p[p_starts]
+        nb_pos = vb_lengths(d_pos)
+        pos_stream = vb_encode(d_pos, nb_pos)
+        cum_pos = np.zeros(tot_pos + 1, np.int64)
+        np.cumsum(nb_pos, out=cum_pos[1:])
+        # posting index → position-value index (end sentinel = tot_pos)
+        pv_prefix = np.concatenate((p_starts, [tot_pos])).astype(np.int64)
 
     schema = bucket_schema(with_pos)
     rows: dict[str, list] = {name: [] for name in schema.names}
-    for gi in range(len(starts)):
-        lo, hi = bounds[gi], bounds[gi + 1]
+    key_mask = np.int64((1 << 20) - 1)
+    for gi in range(n_groups):
+        lo, hi = int(bounds[gi]), int(bounds[gi + 1])
         key = key_s[lo]
-        term = uq_terms[key >> 20]
-        seg = int(key & ((1 << 20) - 1))
-        d = docs_s[lo:hi]
-        # duplicate doc_ids for a term can only come from duplicate input rows
-        # (same url read twice); keep first occurrence for idempotence — the
-        # reference gets the same via ES _id upsert (deces_dataprep.yml:14-15)
-        if len(d) > 1 and (d[1:] == d[:-1]).any():
-            keep = np.empty(len(d), dtype=bool)
-            keep[0] = True
-            np.not_equal(d[1:], d[:-1], out=keep[1:])
-            d = d[keep]
-            t = tfs_s[lo:hi][keep]
-            l = dls_s[lo:hi][keep]
-        else:
-            keep = None
-            t = tfs_s[lo:hi]
-            l = dls_s[lo:hi]
-        if weights_s is not None:
-            w = weights_s[lo:hi] if keep is None else weights_s[lo:hi][keep]
-        else:
-            f_avgdl = avgdl_map.get(str(term).split(":", 1)[0], avgdl)
-            w = bm25_weight(t, l, f_avgdl or 1.0, k1, b)
-        enc = encode_postings_blocks(d, t, l, w, block_size=block_size)
+        rows["term"].append(uq_terms[key >> np.int64(20)])
+        rows["seg"].append(int(key & key_mask))
+        rows["df"].append(hi - lo)
+        rows["cf"].append(int(cf_g[gi]))
+        rows["n"].append(hi - lo)
+        rows["doc_bytes"].append(doc_stream[cum_doc[lo]:cum_doc[hi]])
+        rows["tf_bytes"].append(tf_stream[cum_tf[lo]:cum_tf[hi]])
+        rows["dl_bytes"].append(dl_stream[cum_dl[lo]:cum_dl[hi]])
+        gb_lo, gb_hi = int(blk_prefix[gi]), int(blk_prefix[gi + 1])
+        rows["blk_last"].append(blk_last_all[gb_lo:gb_hi])
+        rows["blk_max_w"].append(blk_maxw_all[gb_lo:gb_hi])
+        rows["blk_count"].append(blk_count_all[gb_lo:gb_hi])
+        rows["blk_off_doc"].append(blk_off_doc_all[gb_lo:gb_hi])
+        rows["blk_off_tf"].append(blk_off_tf_all[gb_lo:gb_hi])
+        rows["blk_off_dl"].append(blk_off_dl_all[gb_lo:gb_hi])
         if with_pos:
-            # gather this group's (possibly dup-filtered) position slices in
-            # sorted-posting order, then delta+varbyte the stream
-            g_idx = order[lo:hi]
-            if keep is not None:
-                g_idx = g_idx[keep]
-            g_lens = pos_len[g_idx]
-            parts = [flat_pos_all[pos_start[i]: pos_start[i] + pos_len[i]]
-                     for i in g_idx]
-            g_flat = (np.concatenate(parts) if parts
-                      else np.empty(0, np.uint32))
-            rows["pos_bytes"].append(encode_positions(g_flat, g_lens))
-        rows["term"].append(term)
-        rows["seg"].append(seg)
-        rows["df"].append(len(d))
-        rows["cf"].append(int(t.sum()))
-        rows["n"].append(enc["n"])
-        rows["doc_bytes"].append(enc["doc_bytes"])
-        rows["tf_bytes"].append(enc["tf_bytes"])
-        rows["dl_bytes"].append(enc["dl_bytes"])
-        rows["blk_last"].append(enc["blk_last"])
-        rows["blk_max_w"].append(enc["blk_max_w"])
-        rows["blk_count"].append(enc["blk_count"])
-        rows["blk_off_doc"].append(enc["blk_off_doc"])
-        rows["blk_off_tf"].append(enc["blk_off_tf"])
-        rows["blk_off_dl"].append(enc["blk_off_dl"])
+            rows["pos_bytes"].append(
+                pos_stream[cum_pos[pv_prefix[lo]]:cum_pos[pv_prefix[hi]]])
 
     out = pa.table(
         {name: pa.array(rows[name], schema.field(name).type)
@@ -742,13 +823,6 @@ def build_bucket(
             "checksum": pa.array([checksum], pa.large_string()),
         }
     )
-
-
-def _factorize(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    import pandas as pd
-
-    inv, uq = pd.factorize(values, sort=False)
-    return inv, np.asarray(uq, dtype=object)
 
 
 # ---------------------------------------------------------------------------
