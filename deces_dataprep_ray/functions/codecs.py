@@ -28,8 +28,12 @@ def vb_encode(values: np.ndarray, lengths: np.ndarray | None = None) -> bytes:
     once, not twice. The work matrix is sized to the stream's ACTUAL maximum
     width (1 for small tf/dl streams, up to 10 for sparse doc-id deltas)
     instead of a fixed (n, 10): the encoder is memory-bandwidth-bound under
-    concurrency, so traffic proportional to real width is what scales."""
-    v = np.ascontiguousarray(values, dtype=_U64)
+    concurrency, so traffic proportional to real width is what scales.
+    Any unsigned dtype is accepted AS-IS (uint32 tf/dl streams are not cast
+    up to uint64 — halving the read traffic); byte output is identical."""
+    v = np.ascontiguousarray(values)
+    if v.dtype.kind != "u":
+        v = v.astype(_U64)
     n = v.size
     if n == 0:
         return b""
@@ -39,7 +43,7 @@ def vb_encode(values: np.ndarray, lengths: np.ndarray | None = None) -> bytes:
         return v.astype(np.uint8).tobytes()
     out = np.zeros((n, width), dtype=np.uint8)
     for k in range(width):
-        out[:, k] = ((v >> _U64(7 * k)) & _MASK7).astype(np.uint8)
+        out[:, k] = (v >> (7 * k)).astype(np.uint8) & np.uint8(0x7F)
     # continuation bit on every byte except each value's last
     cols = np.arange(width, dtype=np.int64)
     keep = cols[None, :] < nb[:, None]
@@ -83,11 +87,15 @@ def vb_decode(buf: bytes | memoryview | np.ndarray, count: int | None = None) ->
 
 def vb_lengths(values: np.ndarray) -> np.ndarray:
     """Encoded byte length per value (1..10), vectorized; stops at the
-    stream's actual width (tf/dl streams are 1-2 wide, not 10)."""
-    v = np.ascontiguousarray(values, dtype=_U64)
+    stream's actual width (tf/dl streams are 1-2 wide, not 10). Unsigned
+    input dtypes are used as-is (no uint64 upcast pass)."""
+    v = np.ascontiguousarray(values)
+    if v.dtype.kind != "u":
+        v = v.astype(_U64)
     nb = np.ones(v.size, dtype=np.int64)
-    for k in range(1, 10):
-        m = v >= _U64(1) << _U64(7 * k)
+    kmax = (v.dtype.itemsize * 8 + 6) // 7  # 5 for uint32, 10 for uint64
+    for k in range(1, kmax):
+        m = v >= v.dtype.type(1 << (7 * k))
         if not m.any():
             break
         nb += m
@@ -131,8 +139,14 @@ def encode_postings_blocks(
     n = int(doc_ids.size)
     doc_ids = np.ascontiguousarray(doc_ids, dtype=_U64)
     deltas = delta_encode(doc_ids)
-    tfs64 = np.ascontiguousarray(tfs, dtype=_U64)
-    dls64 = np.ascontiguousarray(dls, dtype=_U64)
+    # tf/dl keep their native unsigned dtype (uint32 from the reducer) —
+    # the codecs are dtype-native, so no upcast pass
+    tfs64 = np.ascontiguousarray(tfs)
+    dls64 = np.ascontiguousarray(dls)
+    if tfs64.dtype.kind != "u":
+        tfs64 = tfs64.astype(_U64)
+    if dls64.dtype.kind != "u":
+        dls64 = dls64.astype(_U64)
     # block boundaries — fully vectorized: block i's first delta is already
     # relative to block i-1's last doc (it's just the global delta), so one
     # whole-stream varbyte encode per column is byte-identical to per-block
@@ -148,22 +162,26 @@ def encode_postings_blocks(
     )
     blk_count = (ends - starts).astype(np.int32)
 
-    def offsets_for(vals: np.ndarray) -> np.ndarray:
-        cum = np.zeros(len(vals) + 1, dtype=np.int64)
-        np.cumsum(vb_lengths(vals), out=cum[1:])
+    def offsets_for(nb: np.ndarray) -> np.ndarray:
+        cum = np.zeros(len(nb) + 1, dtype=np.int64)
+        np.cumsum(nb, out=cum[1:])
         return cum[starts].astype(np.uint32)
 
+    # one lengths pass per stream, shared between the encode and the offsets
+    nb_doc = vb_lengths(deltas)
+    nb_tf = vb_lengths(tfs64)
+    nb_dl = vb_lengths(dls64)
     return {
         "n": n,
-        "doc_bytes": vb_encode(deltas),
-        "tf_bytes": vb_encode(tfs64),
-        "dl_bytes": vb_encode(dls64),
+        "doc_bytes": vb_encode(deltas, nb_doc),
+        "tf_bytes": vb_encode(tfs64, nb_tf),
+        "dl_bytes": vb_encode(dls64, nb_dl),
         "blk_last": blk_last,
         "blk_max_w": blk_max_w,
         "blk_count": blk_count,
-        "blk_off_doc": offsets_for(deltas),
-        "blk_off_tf": offsets_for(tfs64),
-        "blk_off_dl": offsets_for(dls64),
+        "blk_off_doc": offsets_for(nb_doc),
+        "blk_off_tf": offsets_for(nb_tf),
+        "blk_off_dl": offsets_for(nb_dl),
     }
 
 

