@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_phrase_slop": dq.q_bm25_phrase_slop,
         "bm25_phrase_fielded": dq.q_bm25_phrase_fielded,
         "bm25_incremental": dq.q_bm25_incremental,
+        "bm25_compacted": dq.q_bm25_compacted,
         "bm25_msm": dq.q_bm25_msm,
         "bm25_boosted": dq.q_bm25_boosted,
         "facet_counts": dq.q_facet_counts,
@@ -296,6 +297,30 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY round(score, 6) DESC, doc_id LIMIT 10
         """,
         "bm25_incremental": f"""
+            WITH tok AS (
+                SELECT doc_id, unnest({tok}) AS term FROM documents
+            ),
+            tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+            dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+            stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+            qterms(term) AS (VALUES ('data'), ('spark'), ('window')),
+            df AS (SELECT tf.term, count(*)::DOUBLE AS df
+                   FROM tf JOIN qterms USING (term) GROUP BY tf.term),
+            scores AS (
+                SELECT tf.doc_id,
+                       sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                            * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
+                       ) AS score
+                FROM tf JOIN df ON tf.term = df.term
+                        JOIN dl ON tf.doc_id = dl.doc_id
+                        CROSS JOIN stats s
+                GROUP BY tf.doc_id)
+            SELECT doc_id, round(score, 6) AS score FROM scores
+            ORDER BY round(score, 6) DESC, doc_id LIMIT 10
+        """,
+        # compaction merges the same two generations into one index with
+        # scores identical to a full rebuild — same relational oracle
+        "bm25_compacted": f"""
             WITH tok AS (
                 SELECT doc_id, unnest({tok}) AS term FROM documents
             ),

@@ -295,11 +295,15 @@ def run_scaling(sf_dir: str) -> dict:
 
     def one(ncpu: int) -> dict:
         env = dict(env_base, RAY_GRAFT_CPUS=str(ncpu))
-        out = subprocess.run(
+        proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)], env=env,
-            capture_output=True, text=True, check=True,
-        ).stdout
-        return json.loads(out.strip().splitlines()[-1])
+            capture_output=True, text=True,
+        )
+        if proc.returncode != 0:
+            raise RuntimeError(
+                f"scaling sample ({ncpu} cpus) failed:\n"
+                + proc.stderr[-4000:])
+        return json.loads(proc.stdout.strip().splitlines()[-1])
 
     # hardware capacity is calibrated BEFORE EVERY interleaved sample pair:
     # host contention arrives in multi-minute waves here, so a single

@@ -791,6 +791,63 @@ def build_bucket(
     )
 
 
+def derive_termstats(index_dir: str, num_buckets: int, heads: list[str],
+                     termstats_dir: str) -> int:
+    """Derive the exact term dictionary from the written bucket files.
+
+    A non-head term lives in exactly ONE bucket with ONE (seg=0) row, so its
+    bucket-row df IS its exact df: a column-pruned streaming map over the
+    buckets' (term, df) columns — no shuffle, no token scan. Head terms
+    (few, listed in the manifest) are the only rows needing a cross-bucket
+    sum — merged driver-side from a predicate-pushdown read. Returns the
+    dictionary row count. Shared by ``build_index`` and
+    ``compact_generations``."""
+    import pyarrow.dataset as pa_dataset
+
+    bucket_paths = [
+        os.path.join(bucket_dir(index_dir, bkt), "part.parquet")
+        for bkt in range(num_buckets)
+    ]
+    bucket_paths = [p for p in bucket_paths if os.path.exists(p)]
+    tmp_dir = termstats_dir + ".tmp"
+    for d in (tmp_dir, termstats_dir):
+        if os.path.exists(d):
+            shutil.rmtree(d)
+    head_arr = pa.array(sorted(heads), pa.large_string())
+
+    def _nonhead_stats(t: pa.Table) -> pa.Table:
+        keep = (pc.invert(pc.is_in(t["term"], value_set=head_arr))
+                if len(head_arr) else None)
+        if keep is not None:
+            t = t.filter(keep)
+        return pa.table({"term": t["term"], "df": t["df"]})
+
+    if bucket_paths:
+        (rd.read_parquet(bucket_paths, columns=["term", "df"],
+                         override_num_blocks=len(bucket_paths))
+         .map_batches(_nonhead_stats, batch_format="pyarrow")
+         .write_parquet(tmp_dir))
+    os.makedirs(tmp_dir, exist_ok=True)
+    if heads and bucket_paths:
+        head_rows = pa_dataset.dataset(bucket_paths).to_table(
+            columns=["term", "df"],
+            filter=pc.field("term").isin(heads))
+        import pandas as pd  # noqa: F401 — groupby below
+
+        agg = (head_rows.to_pandas().groupby("term", as_index=False)
+               ["df"].sum())
+        pq.write_table(
+            pa.table({"term": pa.array(agg["term"], pa.large_string()),
+                      "df": pa.array(agg["df"], pa.int64())}),
+            os.path.join(tmp_dir, "head_terms.parquet"))
+    os.replace(tmp_dir, termstats_dir)
+    return sum(
+        pq.read_metadata(os.path.join(termstats_dir, f)).num_rows
+        for f in os.listdir(termstats_dir)
+        if f.endswith(".parquet")
+    )
+
+
 # ---------------------------------------------------------------------------
 # The build driver
 # ---------------------------------------------------------------------------
@@ -1149,50 +1206,8 @@ def build_index(
     # rows needing a cross-bucket sum — merged driver-side from a
     # predicate-pushdown read.
     if not man.phase_done("termstats"):
-        import pyarrow.dataset as pa_dataset
-
-        bucket_paths = [
-            os.path.join(bucket_dir(index_dir, bkt), "part.parquet")
-            for bkt in range(num_buckets)
-        ]
-        bucket_paths = [p for p in bucket_paths if os.path.exists(p)]
-        tmp_dir = termstats_dir + ".tmp"
-        for d in (tmp_dir, termstats_dir):
-            if os.path.exists(d):
-                shutil.rmtree(d)
-        head_arr = pa.array(sorted(heads), pa.large_string())
-
-        def _nonhead_stats(t: pa.Table) -> pa.Table:
-            keep = (pc.invert(pc.is_in(t["term"], value_set=head_arr))
-                    if len(head_arr) else None)
-            if keep is not None:
-                t = t.filter(keep)
-            return pa.table({"term": t["term"], "df": t["df"]})
-
-        if bucket_paths:
-            (rd.read_parquet(bucket_paths, columns=["term", "df"],
-                             override_num_blocks=len(bucket_paths))
-             .map_batches(_nonhead_stats, batch_format="pyarrow")
-             .write_parquet(tmp_dir))
-        os.makedirs(tmp_dir, exist_ok=True)
-        if heads and bucket_paths:
-            head_rows = pa_dataset.dataset(bucket_paths).to_table(
-                columns=["term", "df"],
-                filter=pc.field("term").isin(heads))
-            import pandas as pd
-
-            agg = (head_rows.to_pandas().groupby("term", as_index=False)
-                   ["df"].sum())
-            pq.write_table(
-                pa.table({"term": pa.array(agg["term"], pa.large_string()),
-                          "df": pa.array(agg["df"], pa.int64())}),
-                os.path.join(tmp_dir, "head_terms.parquet"))
-        os.replace(tmp_dir, termstats_dir)
-        n_terms = sum(
-            pq.read_metadata(os.path.join(termstats_dir, f)).num_rows
-            for f in os.listdir(termstats_dir)
-            if f.endswith(".parquet")
-        )
+        n_terms = derive_termstats(index_dir, num_buckets, heads,
+                                   termstats_dir)
         man.mark_done("termstats", dir="termstats", n_terms=int(n_terms),
                       seconds=_took())
 

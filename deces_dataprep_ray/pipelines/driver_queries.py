@@ -692,17 +692,10 @@ def q_geo_radius(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_id").reset_index(drop=True)
 
 
-def q_bm25_incremental(sf_dir: str) -> pd.DataFrame:
-    """Incremental indexing: documents split into two generations (doc_id
-    parity), each built as its own index; MultiReader serves the union with
-    scores IDENTICAL to a full rebuild — the oracle is the very same
-    relational BM25 over the whole table. Served through the block-max
-    PRUNED path (generation bounds rescaled to the union avgdl,
-    `index/multi.py term_segments`) — the 10^12-doc serving path; exact is
-    the rank-identity cross-check in tests."""
+def _incremental_gens(sf_dir: str) -> tuple[list[str], str]:
+    """Build (or reuse) the two doc_id-parity generation indexes over
+    ``documents``; returns (index_dirs, cache_tag)."""
     from ..index.build import build_index
-    from ..index.multi import MultiReader
-    from ..index.query import search_pruned
 
     doc_path = os.path.join(sf_dir, "documents.parquet")
     tag = hashlib.sha256(
@@ -725,9 +718,44 @@ def q_bm25_incremental(sf_dir: str) -> pd.DataFrame:
         build_index(ds, index_dir, num_buckets=8, salt_shards=4,
                     head_min_df=64, input_tag=f"{gen}:{tag}",
                     batch_size=1024)
+    return dirs, tag
+
+
+def q_bm25_incremental(sf_dir: str) -> pd.DataFrame:
+    """Incremental indexing: documents split into two generations (doc_id
+    parity), each built as its own index; MultiReader serves the union with
+    scores IDENTICAL to a full rebuild — the oracle is the very same
+    relational BM25 over the whole table. Served through the block-max
+    PRUNED path (generation bounds rescaled to the union avgdl,
+    `index/multi.py term_segments`) — the 10^12-doc serving path; exact is
+    the rank-identity cross-check in tests."""
+    from ..index.multi import MultiReader
+    from ..index.query import search_pruned
+
+    dirs, _ = _incremental_gens(sf_dir)
     multi = MultiReader(dirs)
     res = search_pruned(multi, "data spark window", k=200)
     return _rounded_topk(res, multi)
+
+
+def q_bm25_compacted(sf_dir: str) -> pd.DataFrame:
+    """Generation compaction (the reference's monthly→annual rollup / ES
+    force-merge, `Makefile:42`): the two parity generations are merged into
+    ONE first-class index by ``compact_generations`` — no re-analysis, no
+    shuffle (per-bucket decode → merge → re-encode with exact union-avgdl
+    block bounds). Scores are identical to a full rebuild, so the oracle is
+    the same relational BM25 over the whole table; served through the
+    block-max pruned path with EXACT (not rescaled) bounds."""
+    from ..index.compact import compact_generations
+    from ..index.query import search_pruned
+    from ..index.reader import IndexReader
+
+    dirs, tag = _incremental_gens(sf_dir)
+    out_dir = os.path.join("/tmp", "dcray_index_cache", f"cmp_{tag}")
+    compact_generations(dirs, out_dir)
+    reader = IndexReader(out_dir)
+    res = search_pruned(reader, "data spark window", k=200)
+    return _rounded_topk(res, reader)
 
 
 def _positional_index_for(sf_dir: str) -> str:
