@@ -66,6 +66,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_msm": dq.q_bm25_msm,
         "bm25_boosted": dq.q_bm25_boosted,
         "facet_counts": dq.q_facet_counts,
+        "facet_date_histogram": dq.q_facet_date_histogram,
+        "bm25_search_after": dq.q_bm25_search_after,
+        "highlight": dq.q_highlight,
         # fielded index: per-field BM25 + keyword/range/date/geo filters
         "bm25_fielded": dq.q_bm25_fielded,
         "keyword_filter": dq.q_keyword_filter,
@@ -479,6 +482,77 @@ def oracle_sql() -> dict[str, str]:
         "facet_counts": """
             SELECT lang AS value, count(*)::BIGINT AS n FROM documents
             GROUP BY lang ORDER BY n DESC, value
+        """,
+        "facet_date_histogram": """
+            SELECT date_trunc('day', ts) AS day, count(*)::BIGINT AS n
+            FROM events GROUP BY day ORDER BY day
+        """,
+        # search_after page 2 = the same total order (rounded score DESC,
+        # external id ASC — ES's [_score, _id]) LIMIT 10 OFFSET 10
+        "bm25_search_after": f"""
+            WITH tok AS (
+                SELECT doc_id, unnest({tok}) AS term FROM documents
+            ),
+            tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+            dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+            stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+            qterms(term) AS (VALUES ('data'), ('spark'), ('window')),
+            df AS (SELECT tf.term, count(*)::DOUBLE AS df
+                   FROM tf JOIN qterms USING (term) GROUP BY tf.term),
+            scores AS (
+                SELECT tf.doc_id,
+                       sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                            * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
+                       ) AS score
+                FROM tf JOIN df ON tf.term = df.term
+                        JOIN dl ON tf.doc_id = dl.doc_id
+                        CROSS JOIN stats s
+                GROUP BY tf.doc_id)
+            SELECT doc_id, round(score, 6) AS score FROM scores
+            ORDER BY round(score, 6) DESC,
+                     'doc://' || CAST(doc_id AS VARCHAR)
+            LIMIT 10 OFFSET 10
+        """,
+        # highlight: ±3-token fragment around the first query-term hit in
+        # the top-10 ranking (p is 1-based; list slices are 1-based
+        # inclusive, so [greatest(1,p-3) : p+3] == python's
+        # tokens[max(0,p0-3) : p0+4] with p0 = p-1)
+        "highlight": f"""
+            WITH toklist AS (
+                SELECT doc_id, {tok} AS toks FROM documents
+            ),
+            tok AS (SELECT doc_id, unnest(toks) AS term FROM toklist),
+            tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+            dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+            stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+            qterms(term) AS (VALUES ('data'), ('spark'), ('window')),
+            df AS (SELECT tf.term, count(*)::DOUBLE AS df
+                   FROM tf JOIN qterms USING (term) GROUP BY tf.term),
+            scores AS (
+                SELECT tf.doc_id,
+                       sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                            * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
+                       ) AS score
+                FROM tf JOIN df ON tf.term = df.term
+                        JOIN dl ON tf.doc_id = dl.doc_id
+                        CROSS JOIN stats s
+                GROUP BY tf.doc_id),
+            top10 AS (
+                SELECT doc_id, round(score, 6) AS score FROM scores
+                ORDER BY round(score, 6) DESC, doc_id LIMIT 10),
+            pos AS (
+                SELECT t.doc_id, t.toks,
+                       least(
+                         coalesce(nullif(list_position(t.toks, 'data'), 0), 2147483647),
+                         coalesce(nullif(list_position(t.toks, 'spark'), 0), 2147483647),
+                         coalesce(nullif(list_position(t.toks, 'window'), 0), 2147483647)
+                       ) AS p
+                FROM toklist t JOIN top10 USING (doc_id))
+            SELECT top10.doc_id, top10.score,
+                   array_to_string(
+                       pos.toks[greatest(1, pos.p - 3):pos.p + 3],
+                       ' ') AS snippet
+            FROM top10 JOIN pos USING (doc_id)
         """,
         # Fielded BM25: per-field idf (field docCount) + per-field length
         # norm (field avgdl). `source` always analyzes to one token, so its

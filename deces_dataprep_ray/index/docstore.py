@@ -22,17 +22,23 @@ import pyarrow.parquet as pq
 
 
 class DocStore:
-    def __init__(self, dv_dir: str):
-        if not os.path.isdir(dv_dir):
-            raise FileNotFoundError(dv_dir)
+    def __init__(self, dv_dir: str | None = None,
+                 paths: list[str] | None = None, id_col: str = "doc_id"):
+        """Over a docvalues dir, or (``paths=``) any id-ordered parquet
+        files with footer statistics — e.g. the original corpus shards,
+        which ``write_pages_corpus`` already writes in doc_id order, so
+        stored-source lookups (highlighting) need no extra build phase."""
+        if paths is None:
+            if dv_dir is None or not os.path.isdir(dv_dir):
+                raise FileNotFoundError(dv_dir)
+            paths = [os.path.join(dv_dir, n) for n in sorted(os.listdir(dv_dir))
+                     if n.endswith(".parquet")]
         self.dir = dv_dir
+        self.id_col = id_col
         self._files: list[dict] = []
-        for name in sorted(os.listdir(dv_dir)):
-            if not name.endswith(".parquet"):
-                continue
-            path = os.path.join(dv_dir, name)
+        for path in paths:
             md = pq.read_metadata(path)
-            idx = md.schema.to_arrow_schema().get_field_index("doc_id")
+            idx = md.schema.to_arrow_schema().get_field_index(id_col)
             mins = np.empty(md.num_row_groups, np.uint64)
             maxs = np.empty(md.num_row_groups, np.uint64)
             for g in range(md.num_row_groups):
@@ -46,8 +52,9 @@ class DocStore:
     def lookup(self, doc_ids, columns: list[str] | None = None) -> pa.Table:
         """Rows for the given doc_ids (doc_id column always included),
         reading only row groups whose [min, max] intersects the id set."""
+        idc = self.id_col
         want = np.unique(np.asarray(list(doc_ids), dtype=np.uint64))
-        cols = ["doc_id"] + [c for c in (columns or ["url"]) if c != "doc_id"]
+        cols = [idc] + [c for c in (columns or ["url"]) if c != idc]
         parts = []
         for f in self._files:
             # a row group matters iff some wanted id falls in [min, max]
@@ -59,12 +66,12 @@ class DocStore:
             if f["pf"] is None:
                 f["pf"] = pq.ParquetFile(f["path"])
             tbl = f["pf"].read_row_groups(groups.tolist(), columns=cols)
-            mask = np.isin(tbl["doc_id"].to_numpy(), want)
+            mask = np.isin(tbl[idc].to_numpy().astype(np.uint64), want)
             parts.append(tbl.filter(pa.array(mask)))
         if not parts:
             first = self._files[0]["path"] if self._files else None
             if first is None:
-                return pa.table({"doc_id": pa.array([], pa.uint64())})
+                return pa.table({idc: pa.array([], pa.uint64())})
             schema = pq.read_schema(first)
             return pa.table({c: pa.array([], schema.field(c).type)
                              for c in cols})
@@ -72,10 +79,12 @@ class DocStore:
 
     def resolve_urls(self, doc_ids) -> dict[int, str]:
         tbl = self.lookup(doc_ids, ["url"])
-        return dict(zip(tbl["doc_id"].to_numpy().tolist(),
+        return dict(zip(tbl[self.id_col].to_numpy().tolist(),
                         tbl["url"].to_pylist()))
 
     def scan(self, columns: list[str] | None = None,
              filter=None) -> pa.Table:
         """Column-pruned scan with predicate pushdown (range/geo filters)."""
-        return pa_ds.dataset(self.dir).to_table(columns=columns, filter=filter)
+        src = self.dir if self.dir is not None else [
+            f["path"] for f in self._files]
+        return pa_ds.dataset(src).to_table(columns=columns, filter=filter)

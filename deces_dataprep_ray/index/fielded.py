@@ -26,6 +26,7 @@ ascending (field, term) order; ties break by ascending doc_id.
 from __future__ import annotations
 
 import numpy as np
+import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..functions.geo import haversine_km
@@ -369,3 +370,33 @@ def facet_counts(reader: IndexReader, field: str,
          for t, d in zip(tbl["term"].to_pylist(), tbl["df"].to_numpy())),
         key=lambda kv: (-kv[1], kv[0]))
     return out if top_n is None else out[:top_n]
+
+
+def facet_date_histogram(reader: IndexReader, column: str,
+                         interval: str = "day") -> list[tuple]:
+    """ES ``date_histogram`` aggregation over a docvalue timestamp column.
+
+    Distributed map-side partials: Ray reads ONLY the bucketed column from
+    the docvalues parquet, each batch folds to (bucket, count) partials, and
+    the driver merges the tiny partial tables — the per-shard doc_values
+    pass ES runs, re-expressed as a column-pruned ``map_batches``; the
+    corpus never materializes driver-side (what crosses the cluster is one
+    row per (bucket, batch)). Returns (bucket_start, n) sorted by bucket."""
+    import os
+    from collections import Counter
+
+    import ray.data as rd
+
+    dv_dir = os.path.join(reader.index_dir, "docvalues")
+
+    def partial(t: pa.Table) -> pa.Table:
+        vc = pc.value_counts(pc.floor_temporal(t[column], unit=interval))
+        return pa.table({"bucket": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    parts = rd.read_parquet(dv_dir, columns=[column]).map_batches(
+        partial, batch_format="pyarrow").take_all()
+    acc: Counter = Counter()
+    for row in parts:
+        acc[row["bucket"]] += int(row["n"])
+    return sorted(acc.items())

@@ -59,11 +59,12 @@ def _topk_from_scores(
     return [(int(doc_ids[i]), float(scores[i])) for i in order]
 
 
-def search_exact(
-    reader: IndexReader, query: str, k: int = 10
-) -> list[tuple[int, float]]:
-    """Exhaustive scorer — the oracle. Fully vectorized; accumulation order
-    per doc is ascending term order (terms iterated sorted)."""
+def _score_all(
+    reader: IndexReader, query: str
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exhaustively score every doc matching any query term: (sorted doc_id
+    array, parallel float64 score array). Accumulation order per doc is
+    ascending term order (terms iterated sorted)."""
     terms = analyze_query(query)
     gathered = []
     for t in terms:
@@ -71,14 +72,77 @@ def search_exact(
         if len(docs):
             gathered.append((t, docs, tfs, dls))
     if not gathered:
-        return []
+        return np.empty(0, np.uint64), np.empty(0, np.float64)
     union = np.unique(np.concatenate([g[1] for g in gathered]))
     scores = np.zeros(len(union), dtype=np.float64)
     for t, docs, tfs, dls in gathered:  # sorted term order
         w = bm25_weight(tfs, dls, reader.avgdl, reader.k1, reader.b)
         contrib = idf(reader.n_docs, len(docs)) * w
         scores[np.searchsorted(union, docs)] += contrib
+    return union, scores
+
+
+def search_exact(
+    reader: IndexReader, query: str, k: int = 10
+) -> list[tuple[int, float]]:
+    """Exhaustive scorer — the oracle. Fully vectorized."""
+    union, scores = _score_all(reader, query)
+    if not len(union):
+        return []
     return _topk_from_scores(union, scores, k)
+
+
+def search_after(
+    reader: IndexReader,
+    query: str,
+    k: int = 10,
+    after: tuple[float, str] | None = None,
+    ndigits: int = 6,
+) -> list[tuple[int, float, str]]:
+    """Deep pagination (ES ``search_after``). Total order over hits:
+    (round(score, ndigits) DESC, url ASC) — ES's ``[_score, _id]`` sort.
+    Internal doc_ids are assignment-order-dependent, so the durable external
+    id (url) is the tiebreaker; the score is rounded because 1-ulp ties
+    differ across engines and the cursor must be exchangeable. Returns the k
+    hits strictly after cursor ``after=(rounded_score, url)`` (None = first
+    page) as [(doc_id, score, url)].
+
+    Urls resolve lazily per descending score group (pruned docstore lookup),
+    so a page deep in the ranking resolves O(hits down to that page), never
+    every scored doc. Scoring itself is the exhaustive pass: block-max
+    pruning bounds scores from ABOVE and cannot skip below-cursor work."""
+    union, scores = _score_all(reader, query)
+    if not len(union):
+        return []
+    # half-away-from-zero rounding (SQL ROUND semantics, np.round is
+    # half-even) — the rounded score is part of the exchangeable cursor, so
+    # its definition must match what an external consumer recomputes
+    f = 10.0 ** ndigits
+    rounded = np.floor(np.abs(scores) * f + 0.5) / f * np.sign(scores)
+    order = np.argsort(-rounded, kind="stable")
+    a_s, a_u = after if after is not None else (None, "")
+    out: list[tuple[int, float, str]] = []
+    i, n = 0, len(order)
+    while i < n and len(out) < k:
+        s = rounded[order[i]]
+        j = i
+        while j < n and rounded[order[j]] == s:
+            j += 1
+        if a_s is not None and s > a_s:  # whole group is before the cursor
+            i = j
+            continue
+        grp = order[i:j]
+        ids = union[grp]
+        urls = reader.resolve_urls(ids.tolist())
+        raw = {int(d): float(scores[g]) for d, g in zip(ids, grp)}
+        for u, d in sorted((urls[int(d)], int(d)) for d in ids):
+            if a_s is not None and s == a_s and u <= a_u:
+                continue
+            out.append((d, raw[d], u))
+            if len(out) == k:
+                break
+        i = j
+    return out
 
 
 class _Cursor:

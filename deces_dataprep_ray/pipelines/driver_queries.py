@@ -869,6 +869,75 @@ def q_facet_counts(sf_dir: str) -> pd.DataFrame:
                          "n": pd.array([n for _, n in rows], dtype="int64")})
 
 
+def q_facet_date_histogram(sf_dir: str) -> pd.DataFrame:
+    """ES ``date_histogram`` aggregation (calendar day) over the events
+    index's ts docvalue: distributed single-column partial counts merged
+    driver-side (one row per (day, batch) crosses the cluster)."""
+    from ..index.fielded import facet_date_histogram
+    from ..index.reader import IndexReader
+
+    reader = IndexReader(_events_index_for(sf_dir))
+    rows = facet_date_histogram(reader, "ts", "day")
+    return pd.DataFrame({
+        "day": pd.Series([b for b, _ in rows], dtype="datetime64[us]"),
+        "n": pd.array([n for _, n in rows], dtype="int64"),
+    })
+
+
+def q_bm25_search_after(sf_dir: str) -> pd.DataFrame:
+    """Deep pagination (ES ``search_after``): page 2 (ranks 11-20) of the
+    flagship BM25 query, fetched with the (rounded score, url) cursor of
+    page 1's last hit. Total order is (score DESC, url ASC) — ES's
+    [_score, _id] sort over the durable external id; the oracle is the same
+    ranking LIMIT 10 OFFSET 10."""
+    from ..index.query import search_after
+    from ..index.reader import IndexReader
+
+    reader = IndexReader(_index_for(sf_dir))
+    q = "data spark window"
+    page1 = search_after(reader, q, k=10)
+    empty = pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
+                          "score": pd.array([], dtype="float64")})
+    if len(page1) < 10:
+        return empty
+    cursor = (float(round_away(page1[-1][1], 6)), page1[-1][2])
+    page2 = search_after(reader, q, k=10, after=cursor)
+    if not page2:
+        return empty
+    return pd.DataFrame({
+        "doc_id": [int(u.removeprefix("doc://")) for _, _, u in page2],
+        "score": round_away([s for _, s, _ in page2], 6),
+    })
+
+
+def q_highlight(sf_dir: str) -> pd.DataFrame:
+    """ES ``highlight``: the flagship query's top-10 hits, each with the
+    ±3-token snippet around its first query-term occurrence. Source text is
+    fetched straight from the (doc_id-ordered) documents parquet by
+    row-group-pruned lookup — stored-source resolution without a corpus
+    scan or a second copy of the text."""
+    from ..index.docstore import DocStore
+    from ..index.highlight import highlight_snippets
+    from ..index.query import search
+    from ..index.reader import IndexReader
+
+    reader = IndexReader(_index_for(sf_dir))
+    q = "data spark window"
+    res = search(reader, q, k=200)
+    urls = reader.resolve_urls([d for d, _ in res])
+    df = pd.DataFrame({
+        "orig_id": [int(urls[d].removeprefix("doc://")) for d, _ in res],
+        "score": round_away([s for _, s in res], 6),
+    }).sort_values(["score", "orig_id"], ascending=[False, True]).head(10)
+    store = DocStore(paths=[os.path.join(sf_dir, "documents.parquet")])
+    snips = highlight_snippets(store, df["orig_id"].tolist(), q, window=3)
+    return pd.DataFrame({
+        "doc_id": df["orig_id"].to_numpy(),
+        "score": df["score"].to_numpy(),
+        "snippet": [snips[int(d)] for d in df["orig_id"]],
+    })
+
+
 def q_embed_pairs_exact(sf_dir: str) -> pd.DataFrame:
     """Exact all-pairs cosine >= 0.4 over the embeddings table — the
     SQL-checkable baseline the LSH near-dup stage approximates."""
