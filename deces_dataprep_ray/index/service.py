@@ -55,6 +55,24 @@ class _QueryWorker:
 
         return _sf(self.reader, query, k, max_dist=max_dist)
 
+    def search_after(self, query: str, k: int = 10, after=None):
+        from .query import search_after as _sa
+
+        return _sa(self.reader, query, k, after=after)
+
+    def highlight(self, query: str, k: int = 10, window: int = 3,
+                  text_col: str = "text"):
+        """Top-k + snippets from the index's own docvalues store — requires
+        the index to have been built with the text as a docvalue field."""
+        from .highlight import highlight_snippets
+        from .query import search as _s
+
+        res = _s(self.reader, query, k)
+        snips = highlight_snippets(self.reader.docstore,
+                                   [d for d, _ in res], query,
+                                   window=window, text_col=text_col)
+        return [(d, s, snips.get(d, "")) for d, s in res]
+
 
 class QueryService:
     """Round-robin pool of query actors over one index directory."""
@@ -88,6 +106,18 @@ class QueryService:
 
     def search_fuzzy(self, query: str, k: int = 10, max_dist: int = 1):
         return ray.get(next(self._rr).search_fuzzy.remote(query, k, max_dist))
+
+    def search_after(self, query: str, k: int = 10, after=None):
+        """Deep pagination: (rounded score, url) cursor, ES [_score, _id]
+        order (see ``query.search_after``)."""
+        return ray.get(next(self._rr).search_after.remote(query, k, after))
+
+    def highlight(self, query: str, k: int = 10, window: int = 3,
+                  text_col: str = "text"):
+        """Top-k hits as (doc_id, score, snippet); the index must store the
+        source text as a docvalue field named ``text_col``."""
+        return ray.get(next(self._rr).highlight.remote(
+            query, k, window, text_col))
 
     def search_batch(self, queries: list[str], k: int = 10,
                      algorithm: str = "auto") -> list:

@@ -70,3 +70,49 @@ def test_service_phrase_and_fuzzy(tmp_path):
         assert svc.search_fuzzy("windoz", 5) == search_fuzzy(r, "windoz", 5)
     finally:
         svc.shutdown()
+
+
+def test_service_search_after_and_highlight(tmp_path):
+    import numpy as np
+    import pandas as pd
+
+    from deces_dataprep_ray.index.build import build_index
+    from deces_dataprep_ray.index.highlight import snippet_for
+    from deces_dataprep_ray.index.query import search, search_after
+    from deces_dataprep_ray.index.reader import IndexReader
+    from deces_dataprep_ray.index.service import QueryService
+
+    rng = np.random.default_rng(9)
+    vocab = ["data", "spark", "window", "scan", "merge"]
+    texts = [" ".join(rng.choice(vocab, 10)) for _ in range(50)]
+    df = pd.DataFrame({
+        "url": [f"doc://{i}" for i in range(50)],
+        "text": texts,
+    })
+    src = str(tmp_path / "s.parquet")
+    df.to_parquet(src)
+    idx = str(tmp_path / "i")
+    # the source text stored as a docvalue = ES _source; serves highlight
+    build_index(src, idx, num_buckets=4, salt_shards=2, head_min_df=1000,
+                docvalue_fields={"src_text": "text"}, batch_size=16)
+    r = IndexReader(idx)
+    svc = QueryService(idx, num_workers=2)
+    try:
+        page1 = svc.search_after("data spark", 5)
+        assert page1 == search_after(r, "data spark", 5)
+        cursor = (round(page1[-1][1], 6), page1[-1][2])
+        assert svc.search_after("data spark", 5, after=cursor) == \
+               search_after(r, "data spark", 5, after=cursor)
+
+        hits = svc.highlight("data spark", 5, window=2,
+                             text_col="src_text")
+        expect = search(r, "data spark", 5)
+        assert [(d, s) for d, s, _ in hits] == expect
+        by_url = {f"doc://{i}": t for i, t in enumerate(texts)}
+        urls = r.resolve_urls([d for d, _ in expect])
+        for d, _, snip in hits:
+            assert snip == snippet_for(by_url[urls[d]],
+                                       {"data", "spark"}, window=2)
+            assert snip
+    finally:
+        svc.shutdown()
