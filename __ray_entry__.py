@@ -76,6 +76,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_filter": dq.q_range_filter,
         "date_range": dq.q_date_range,
         "geo_radius": dq.q_geo_radius,
+        "dis_max": dq.q_dis_max,
+        "terms_filter": dq.q_terms_filter,
+        "exists_filter": dq.q_exists_filter,
+        # ES metric aggregations over docvalues
+        "stats_agg": dq.q_stats_agg,
+        "histogram_agg": dq.q_histogram_agg,
+        "cardinality_agg": dq.q_cardinality_agg,
+        "percentiles_agg": dq.q_percentiles_agg,
+        "significant_terms": dq.q_significant_terms,
+        "repetition": dq.q_repetition,
         # training-data ops
         "exact_dedup": dq.q_exact_dedup,
         "fingerprint": dq.q_fingerprint,
@@ -743,6 +753,174 @@ def oracle_sql() -> dict[str, str]:
                       + cos(radians(45.0)) * cos(radians(lat))
                         * pow(sin(radians(lon - 5.0) / 2.0), 2))) <= 2000.0
             ORDER BY event_id
+        """,
+        "dis_max": f"""
+            WITH tok AS (
+                SELECT doc_id, unnest({tok}) AS term FROM documents
+            ),
+            tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+            dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+            stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+            qterms(term) AS (VALUES ('data'), ('spark'), ('window')),
+            df AS (SELECT tf.term, count(*)::DOUBLE AS df
+                   FROM tf JOIN qterms USING (term) GROUP BY tf.term),
+            tscore AS (
+                SELECT tf.doc_id,
+                       sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                            * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
+                       ) AS score
+                FROM tf JOIN df ON tf.term = df.term
+                        JOIN dl ON tf.doc_id = dl.doc_id
+                        CROSS JOIN stats s
+                GROUP BY tf.doc_id),
+            sn AS (SELECT count(*)::DOUBLE AS n FROM documents
+                   WHERE source IS NOT NULL AND source != ''),
+            sdf AS (SELECT count(*)::DOUBLE AS df FROM documents
+                    WHERE source = 'src3'),
+            sscore AS (
+                SELECT d.doc_id,
+                       ln(1 + (sn.n - sdf.df + 0.5) / (sdf.df + 0.5))
+                       * (1.0 / (1.0 + 1.2 * (1.0 - 0.75 + 0.75 * 1.0 / 1.0)))
+                       AS score
+                FROM documents d CROSS JOIN sn CROSS JOIN sdf
+                WHERE d.source = 'src3'),
+            combined AS (
+                SELECT COALESCE(t.doc_id, s2.doc_id) AS doc_id,
+                       GREATEST(COALESCE(t.score, 0), COALESCE(s2.score, 0))
+                       + 0.3 * (COALESCE(t.score, 0) + COALESCE(s2.score, 0)
+                                - GREATEST(COALESCE(t.score, 0),
+                                           COALESCE(s2.score, 0))) AS score
+                FROM tscore t FULL OUTER JOIN sscore s2
+                     ON t.doc_id = s2.doc_id)
+            SELECT doc_id, round(score, 6) AS score FROM combined
+            ORDER BY round(score, 6) DESC, doc_id LIMIT 10
+        """,
+        "terms_filter": f"""
+            WITH tok AS (
+                SELECT doc_id, unnest({tok}) AS term FROM documents
+            ),
+            tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+            dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+            stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+            qterms(term) AS (VALUES ('data'), ('spark'), ('window')),
+            df AS (SELECT tf.term, count(*)::DOUBLE AS df
+                   FROM tf JOIN qterms USING (term) GROUP BY tf.term),
+            scores AS (
+                SELECT tf.doc_id,
+                       sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                            * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
+                       ) AS score
+                FROM tf JOIN df ON tf.term = df.term
+                        JOIN dl ON tf.doc_id = dl.doc_id
+                        CROSS JOIN stats s
+                GROUP BY tf.doc_id)
+            SELECT sc.doc_id, round(sc.score, 6) AS score
+            FROM scores sc JOIN documents d ON sc.doc_id = d.doc_id
+            WHERE d.lang IN ('en', 'fr')
+            ORDER BY round(sc.score, 6) DESC, sc.doc_id LIMIT 10
+        """,
+        "exists_filter": f"""
+            WITH tok AS (
+                SELECT doc_id, unnest({tok}) AS term FROM documents
+            ),
+            tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+            dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+            stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+            qterms(term) AS (VALUES ('data'), ('spark'), ('window')),
+            df AS (SELECT tf.term, count(*)::DOUBLE AS df
+                   FROM tf JOIN qterms USING (term) GROUP BY tf.term),
+            scores AS (
+                SELECT tf.doc_id,
+                       sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                            * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
+                       ) AS score
+                FROM tf JOIN df ON tf.term = df.term
+                        JOIN dl ON tf.doc_id = dl.doc_id
+                        CROSS JOIN stats s
+                GROUP BY tf.doc_id)
+            SELECT sc.doc_id, round(sc.score, 6) AS score
+            FROM scores sc JOIN documents d ON sc.doc_id = d.doc_id
+            WHERE d.source != 'src0'
+            ORDER BY round(sc.score, 6) DESC, sc.doc_id LIMIT 10
+        """,
+        "stats_agg": """
+            SELECT count(n_chars)::BIGINT AS n,
+                   round(min(n_chars)::DOUBLE, 6) AS mn,
+                   round(max(n_chars)::DOUBLE, 6) AS mx,
+                   round(sum(n_chars)::DOUBLE, 6) AS sm,
+                   round(avg(n_chars), 6) AS avg
+            FROM documents
+        """,
+        "histogram_agg": """
+            SELECT floor(n_chars / 50.0) * 50.0 AS bucket,
+                   count(*)::BIGINT AS n
+            FROM documents GROUP BY 1 ORDER BY 1
+        """,
+        "cardinality_agg": """
+            SELECT count(DISTINCT n_chars)::BIGINT AS n_distinct
+            FROM documents
+        """,
+        "repetition": f"""
+            WITH tok AS (
+                SELECT doc_id, unnest({tok}) AS term FROM documents
+            ),
+            cnt AS (SELECT doc_id, term, count(*)::DOUBLE AS c
+                    FROM tok GROUP BY 1, 2),
+            n AS (SELECT doc_id, count(*)::DOUBLE AS n FROM tok GROUP BY 1),
+            uni AS (SELECT doc_id, max(c) AS topc,
+                           sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dupc
+                    FROM cnt GROUP BY doc_id),
+            big AS (
+                SELECT doc_id, max(c2) AS topb FROM (
+                    SELECT doc_id, bg, count(*)::DOUBLE AS c2 FROM (
+                        SELECT doc_id,
+                               unnest(list_transform(
+                                   range(1, len(t)),
+                                   i -> t[i] || ' ' || t[i + 1])) AS bg
+                        FROM (SELECT doc_id, {tok} AS t FROM documents)
+                        WHERE len(t) >= 2
+                    ) GROUP BY 1, 2
+                ) GROUP BY doc_id)
+            SELECT d.doc_id,
+                   round(u.topc / n.n, 6) AS top_unigram_frac,
+                   round(u.dupc / n.n, 6) AS dup_word_frac,
+                   round(COALESCE(b.topb / nullif(n.n - 1, 0), 0),
+                         6) AS top_bigram_frac
+            FROM documents d JOIN n USING (doc_id) JOIN uni u USING (doc_id)
+            LEFT JOIN big b USING (doc_id)
+            ORDER BY d.doc_id
+        """,
+        "significant_terms": f"""
+            WITH toks AS (
+                SELECT doc_id, lang, unnest({tok}) AS term FROM documents
+            ),
+            per_doc AS (SELECT DISTINCT doc_id, lang, term FROM toks),
+            nfg AS (SELECT count(*)::DOUBLE AS n FROM documents
+                    WHERE lang = 'en'),
+            nbg AS (SELECT count(*)::DOUBLE AS n FROM documents),
+            fgt AS (SELECT term, count(*)::BIGINT AS fg_df
+                    FROM per_doc WHERE lang = 'en' GROUP BY term
+                    HAVING count(*) >= 5),
+            bgt AS (SELECT term, count(*)::BIGINT AS bg_df
+                    FROM per_doc GROUP BY term),
+            j AS (SELECT f.term, f.fg_df, b.bg_df,
+                         (f.fg_df / nfg.n - b.bg_df / nbg.n)
+                         * ((f.fg_df / nfg.n) / (b.bg_df / nbg.n)) AS score
+                  FROM fgt f JOIN bgt b USING (term), nfg, nbg
+                  WHERE f.fg_df / nfg.n > b.bg_df / nbg.n)
+            SELECT term, fg_df, bg_df, round(score, 6) AS score FROM j
+            ORDER BY round(score, 6) DESC, term LIMIT 10
+        """,
+        "percentiles_agg": """
+            WITH vc AS (SELECT n_chars::DOUBLE AS v, count(*)::BIGINT AS c
+                        FROM documents GROUP BY 1),
+            cum AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM vc),
+            tot AS (SELECT count(*)::BIGINT AS n FROM documents),
+            qs(q) AS (VALUES (0.25), (0.5), (0.75), (0.95))
+            SELECT q::DOUBLE AS q,
+                   (SELECT min(v) FROM cum, tot
+                    WHERE cum >= ceil(q * n)) AS value
+            FROM qs ORDER BY q
         """,
         "exact_dedup": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_copies

@@ -1,0 +1,317 @@
+"""ES-style metric aggregations over the docvalues store, on Ray Data.
+
+Elasticsearch executes aggregations per shard over doc_values and merges
+per-shard partials on the coordinating node (the surface the reference's
+search API exposes on top of its `deces_index.yml` mapping). This module
+re-owns that execution shape: every aggregation is a column-pruned
+``read_parquet(docvalues)`` → ``map_batches`` partial fold → tiny
+driver-side merge. What crosses the cluster is one partial row (or one
+register array) per batch — never doc rows — so each aggregation's
+exchange volume is O(batches), independent of corpus size.
+
+Scale notes per aggregation:
+
+- ``stats_agg``: one 5-number row per batch. Unbounded scale.
+- ``histogram_agg``: one row per (bucket, batch); bounded by the bucket
+  count × batches. Unbounded scale for sane intervals.
+- ``cardinality_agg``: ES semantics — approximate, HyperLogLog. One
+  2^p-byte register array per batch rides the merge; fixed size at any
+  corpus. ``exact=True`` merges per-batch uniques driver-side instead —
+  bounded by the TRUE cardinality (fine for keyword-ish columns, not for
+  doc-unique ones; that asymmetry is exactly why ES ships HLL).
+- ``percentiles_agg``: exact, via merged per-batch value counts — bounded
+  by the column's distinct-value count (guarded by ``max_distinct``).
+  Right for the mapping's typed docvalue columns (`short`/`date` fields,
+  deces_index.yml:86-88,128-129 — value space ≪ doc count); for unbounded
+  float columns ES falls back to t-digest approximation, which this
+  engine does not need at the reference's mapping.
+"""
+
+from __future__ import annotations
+
+import os
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .reader import IndexReader
+
+
+def _dv_path(reader: IndexReader) -> str:
+    return os.path.join(reader.index_dir, "docvalues")
+
+
+def _read_dv(reader: IndexReader, column: str):
+    import ray.data as rd
+
+    return rd.read_parquet(_dv_path(reader), columns=[column])
+
+
+def stats_agg(reader: IndexReader, column: str) -> dict:
+    """ES ``stats`` aggregation: count / min / max / sum / avg over a
+    docvalue column, nulls skipped (ES "missing" docs)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t[column].drop_null()
+        n = len(col)
+        if n == 0:
+            return pa.table({"n": pa.array([], pa.int64()),
+                             "mn": pa.array([], pa.float64()),
+                             "mx": pa.array([], pa.float64()),
+                             "sm": pa.array([], pa.float64())})
+        return pa.table({
+            "n": pa.array([n], pa.int64()),
+            "mn": pa.array([pc.min(col).cast(pa.float64()).as_py()]),
+            "mx": pa.array([pc.max(col).cast(pa.float64()).as_py()]),
+            "sm": pa.array([pc.sum(col).cast(pa.float64()).as_py()]),
+        })
+
+    parts = _read_dv(reader, column).map_batches(
+        partial, batch_format="pyarrow").take_all()
+    if not parts:
+        return {"count": 0, "min": None, "max": None, "sum": 0.0, "avg": None}
+    count = int(sum(p["n"] for p in parts))
+    mn = min(p["mn"] for p in parts)
+    mx = max(p["mx"] for p in parts)
+    # Kahan-free float64 sum of per-batch float64 partial sums: matches the
+    # SQL oracle to well past 6 decimals for docvalue-typed columns
+    sm = float(sum(p["sm"] for p in parts))
+    return {"count": count, "min": mn, "max": mx, "sum": sm,
+            "avg": sm / count if count else None}
+
+
+def histogram_agg(reader: IndexReader, column: str, interval: float,
+                  offset: float = 0.0) -> list[tuple[float, int]]:
+    """ES ``histogram`` aggregation: fixed-interval numeric buckets.
+
+    Bucket key = floor((v - offset) / interval) * interval + offset (the ES
+    formula). Returns (bucket_key, doc_count) ascending; empty buckets are
+    omitted (ES min_doc_count=1 behavior)."""
+    if interval <= 0:
+        raise ValueError("interval must be > 0")
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t[column].drop_null().cast(pa.float64()).combine_chunks()
+        arr = v.to_numpy(zero_copy_only=False)
+        keys = np.floor((arr - offset) / interval) * interval + offset
+        vc = pc.value_counts(pa.array(keys))
+        return pa.table({"bucket": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    parts = _read_dv(reader, column).map_batches(
+        partial, batch_format="pyarrow").take_all()
+    acc: Counter = Counter()
+    for row in parts:
+        acc[float(row["bucket"])] += int(row["n"])
+    return sorted(acc.items())
+
+
+# --- cardinality (HyperLogLog) ---------------------------------------------
+
+_HLL_P = 14  # 2^14 registers = 16 KiB per batch partial, ES default precision
+
+
+def _hll_registers(values: np.ndarray, p: int = _HLL_P) -> np.ndarray:
+    """Vectorized HLL register fold of a value array (any dtype pandas can
+    hash): register[i] = max leading-zero-rank of hashes routed to i."""
+    from pandas.util import hash_array
+
+    h = hash_array(values, hash_key="0123456789123456").astype(np.uint64)
+    m = np.uint64((1 << p) - 1)
+    idx = (h & m).astype(np.int64)
+    w = h >> np.uint64(p)
+    # rank = position of first 1-bit in the remaining 64-p bits, 1-based;
+    # all-zero w maps to (64-p)+1
+    nbits = 64 - p
+    rank = np.full(len(w), nbits + 1, dtype=np.uint8)
+    nz = w != 0
+    # first 1-bit position from the LSB side (HLL convention on the
+    # truncated hash): count trailing zeros via bit isolation
+    wnz = w[nz]
+    low = (wnz & (~wnz + np.uint64(1))).astype(np.float64)
+    rank[nz] = (np.log2(low)).astype(np.uint8) + 1
+    regs = np.zeros(1 << p, dtype=np.uint8)
+    np.maximum.at(regs, idx, rank)
+    return regs
+
+
+def _hll_estimate(regs: np.ndarray, p: int = _HLL_P) -> float:
+    """Bias-corrected HLL estimate with linear-counting small-range fix."""
+    m = float(1 << p)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / float(np.sum(np.exp2(-regs.astype(np.float64))))
+    zeros = int(np.count_nonzero(regs == 0))
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)  # linear counting
+    return est
+
+
+def cardinality_agg(reader: IndexReader, column: str,
+                    exact: bool = False) -> int:
+    """ES ``cardinality`` aggregation over a docvalue column.
+
+    Default path is HyperLogLog (ES semantics: approximate, fixed memory):
+    each batch folds to a 2^14-register array, the driver merges by
+    element-wise max — a 16 KiB partial per batch at any corpus size.
+    ``exact=True`` merges per-batch unique sets instead (driver memory
+    bounded by the true cardinality — the gate/oracle path)."""
+    if exact:
+        def u(t: pa.Table) -> pa.Table:
+            return pa.table({"v": t[column].drop_null().unique()})
+
+        parts = _read_dv(reader, column).map_batches(
+            u, batch_format="pyarrow").take_all()
+        return len({row["v"] for row in parts})
+
+    def regs_partial(t: pa.Table) -> pa.Table:
+        col = t[column].drop_null().combine_chunks()
+        vals = col.to_numpy(zero_copy_only=False)
+        regs = (_hll_registers(vals) if len(vals)
+                else np.zeros(1 << _HLL_P, np.uint8))
+        return pa.table({"regs": pa.array([regs.tobytes()], pa.binary())})
+
+    parts = _read_dv(reader, column).map_batches(
+        regs_partial, batch_format="pyarrow").take_all()
+    merged = np.zeros(1 << _HLL_P, dtype=np.uint8)
+    for row in parts:
+        np.maximum(merged, np.frombuffer(row["regs"], np.uint8), out=merged)
+    return int(round(_hll_estimate(merged)))
+
+
+def significant_terms(
+    reader: IndexReader,
+    filters: list,
+    field: str | None = None,
+    top_n: int = 10,
+    min_fg_df: int = 1,
+) -> list[tuple[str, int, int, float]]:
+    """ES ``significant_terms`` aggregation (JLH scoring, frozen semantics).
+
+    Foreground = the doc set matching ``filters`` (≥1 positive filter
+    required — the ES "bucket" being analyzed). For every term occurring in
+    foreground docs: fg_r = fg_df / n_fg, bg_r = bg_df / n_docs, and
+
+        JLH(term) = (fg_r − bg_r) · (fg_r / bg_r),   kept iff fg_r > bg_r
+
+    Returns (term, fg_df, bg_df, score) sorted by score desc then term asc,
+    capped at top_n; terms with fg_df < min_fg_df are dropped first.
+
+    Execution shape: foreground doc_ids resolve from postings/docvalues
+    (never a corpus scan), broadcast once via ``ray.put``; a column-pruned
+    Ray pass over the ``analyzed`` checkpoint's (doc_id, terms) — the term
+    vectors ES would read — folds each batch to (term, fg_df) partials, so
+    the exchange is one row per (fg term, batch). Background df comes from
+    a predicate-pushdown read of the term dictionary restricted to the
+    candidate set. The full-corpus token scan is inherent to the
+    aggregation (ES pays the same via per-shard term vectors / fielddata);
+    the foreground mask keeps all downstream state fg-bounded."""
+    import ray
+    import ray.data as rd
+
+    from .fielded import _resolve_filters
+
+    allow, exclude = _resolve_filters(reader, filters)
+    if allow is None:
+        raise ValueError("significant_terms needs >= 1 positive filter "
+                         "(the foreground doc set)")
+    if exclude is not None and len(exclude):
+        allow = allow[~np.isin(allow, exclude)]
+    n_fg = len(allow)
+    if n_fg == 0:
+        return []
+    fg_ref = ray.put(np.sort(allow.astype(np.uint64)))
+    prefix = f"{field}:" if field else None
+
+    def partial(t: pa.Table) -> pa.Table:
+        fg = ray.get(fg_ref) if isinstance(fg_ref, ray.ObjectRef) else fg_ref
+        ids = t["doc_id"].to_numpy().astype(np.uint64)
+        pos = np.searchsorted(fg, ids)
+        keep = (pos < len(fg))
+        keep[keep] &= fg[pos[keep]] == ids[keep]
+        if not keep.any():
+            return pa.table({"term": pa.array([], pa.large_string()),
+                             "n": pa.array([], pa.int64())})
+        terms = pc.list_flatten(
+            t.filter(pa.array(keep))["terms"].combine_chunks())
+        if prefix is not None:
+            terms = terms.filter(pc.starts_with(terms, prefix))
+        # terms are per-doc unique in `analyzed`, so value_counts == df
+        vc = pc.value_counts(terms)
+        return pa.table({"term": vc.field("values").cast(pa.large_string()),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    analyzed = os.path.join(reader.index_dir, "analyzed")
+    parts = rd.read_parquet(analyzed, columns=["doc_id", "terms"]) \
+        .map_batches(partial, batch_format="pyarrow").take_all()
+    fg_df: Counter = Counter()
+    for row in parts:
+        fg_df[row["term"]] += int(row["n"])
+    cands = sorted(t for t, c in fg_df.items() if c >= min_fg_df)
+    if not cands:
+        return []
+
+    import pyarrow.dataset as pa_ds
+
+    ts_dir = os.path.join(reader.index_dir, "termstats")
+    bg_tbl = pa_ds.dataset(ts_dir).to_table(
+        columns=["term", "df"],
+        filter=pc.field("term").isin(cands))
+    bg_df = dict(zip(bg_tbl["term"].to_pylist(),
+                     bg_tbl["df"].to_numpy().tolist()))
+    n_bg = float(reader.n_docs)
+    out = []
+    strip = len(prefix) if prefix else 0
+    for term in cands:
+        fg = fg_df[term]
+        bg = int(bg_df.get(term, fg))
+        fg_r = fg / n_fg
+        bg_r = bg / n_bg
+        if fg_r <= bg_r or bg_r <= 0.0:
+            continue
+        score = (fg_r - bg_r) * (fg_r / bg_r)
+        out.append((term[strip:], int(fg), bg, score))
+    out.sort(key=lambda r: (-r[3], r[0]))
+    return out[:top_n]
+
+
+def percentiles_agg(reader: IndexReader, column: str,
+                    qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.95),
+                    max_distinct: int = 1_000_000) -> dict[float, float]:
+    """Exact percentiles via merged per-batch value counts.
+
+    Definition (type-1 inverted CDF, mirrored verbatim by the SQL oracle):
+    percentile(q) = the smallest value v whose cumulative count
+    ≥ ceil(q·N). Exact and shuffle-free when the column's distinct-value
+    count is bounded (``max_distinct`` guards the driver merge) — true for
+    the mapping's `short`/`date` docvalue columns by construction."""
+    for q in qs:
+        if not 0.0 < q <= 1.0:
+            raise ValueError(f"quantile {q} outside (0, 1]")
+
+    def partial(t: pa.Table) -> pa.Table:
+        vc = pc.value_counts(t[column].drop_null().combine_chunks())
+        return pa.table({"v": vc.field("values").cast(pa.float64()),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    parts = _read_dv(reader, column).map_batches(
+        partial, batch_format="pyarrow").take_all()
+    acc: Counter = Counter()
+    for row in parts:
+        acc[float(row["v"])] += int(row["n"])
+        if len(acc) > max_distinct:
+            raise ValueError(
+                f"{column!r} exceeds max_distinct={max_distinct} distinct "
+                "values; exact percentiles need a bounded value space "
+                "(use a coarser derived column, or raise the cap)")
+    if not acc:
+        return {q: float("nan") for q in qs}
+    vals = np.array(sorted(acc), dtype=np.float64)
+    cum = np.cumsum([acc[v] for v in vals])
+    n = int(cum[-1])
+    out = {}
+    for q in qs:
+        rank = max(1, int(np.ceil(q * n)))
+        out[q] = float(vals[np.searchsorted(cum, rank, side="left")])
+    return out

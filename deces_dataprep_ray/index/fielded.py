@@ -52,6 +52,45 @@ class KeywordFilter:
         return docs
 
 
+class TermsFilter:
+    """ES ``terms`` query in filter context: doc matches if its keyword
+    field holds ANY of the given values (SQL ``IN``) — the union of each
+    ``field:value`` term's postings."""
+
+    def __init__(self, field: str, values):
+        self.field = field
+        self.values = list(values)
+
+    def doc_ids(self, reader: IndexReader) -> np.ndarray:
+        from ..functions.analysis import normalize_keyword
+
+        parts = []
+        for v in self.values:
+            norm = normalize_keyword(str(v))
+            if not norm:
+                continue
+            docs, _, _ = reader.postings(f"{self.field}:{norm}")
+            if len(docs):
+                parts.append(docs)
+        if not parts:
+            return np.empty(0, np.uint64)
+        return np.unique(np.concatenate(parts))
+
+
+class ExistsFilter:
+    """ES ``exists`` query: doc matches iff the docvalue column is non-null
+    (ES: the field has any indexed value). Served by a column-pruned
+    predicate-pushdown docvalues scan, like RangeFilter."""
+
+    def __init__(self, column: str):
+        self.column = column
+
+    def doc_ids(self, reader: IndexReader) -> np.ndarray:
+        tbl = reader.docstore.scan(
+            columns=["doc_id"], filter=pc.field(self.column).is_valid())
+        return np.sort(tbl["doc_id"].to_numpy().astype(np.uint64))
+
+
 class NotKeywordFilter:
     """Keyword exclusion — ES bool ``must_not`` on a keyword term: every doc
     EXCEPT those holding ``field:value``. Evaluated LAZILY: the exclusion
@@ -213,6 +252,15 @@ def search_fields(
             return []
 
     scores = np.zeros(len(union), dtype=np.float64)
+    _accumulate_scores(scores, union, gathered, reader.k1, reader.b)
+    live = scores > 0.0
+    return _topk_from_scores(union[live], scores[live], k)
+
+
+def _accumulate_scores(scores: np.ndarray, union: np.ndarray,
+                       gathered, k1: float, b: float) -> None:
+    """Add each gathered (field, term)'s BM25 contributions into ``scores``
+    (aligned with the sorted doc_id ``union``), in gathered order."""
     for n_f, avgdl_f, docs, tfs, dls, boost in gathered:
         pos = np.searchsorted(union, docs)
         ok = (pos < len(union))
@@ -221,8 +269,59 @@ def search_fields(
         sel = np.flatnonzero(ok)[hit]
         if not len(sel):
             continue
-        w = bm25_weight(tfs[sel], dls[sel], avgdl_f, reader.k1, reader.b)
+        w = bm25_weight(tfs[sel], dls[sel], avgdl_f, k1, b)
         scores[pos[sel]] += boost * idf(n_f, len(docs)) * w
+
+
+def search_dis_max(
+    reader: IndexReader,
+    matches: list[tuple],
+    k: int = 10,
+    tie_breaker: float = 0.0,
+    filters: list | None = None,
+) -> list[tuple[int, float]]:
+    """ES ``dis_max`` / ``multi_match type=best_fields``: each match clause
+    scores independently (per-field BM25, exactly as one `search_fields`
+    clause), and a doc's final score is its BEST clause score plus
+    ``tie_breaker`` × the sum of its other clause scores:
+
+        score = max_c s_c + tie_breaker · (Σ_c s_c − max_c s_c)
+
+    tie_breaker=0 is pure dis_max (ES default); tie_breaker=1 degenerates to
+    the bool-should sum (== `search_fields`). Filters behave identically to
+    `search_fields` (must/must_not in filter context, no scoring)."""
+    per_clause = []  # list of gathered lists, one per match clause
+    for clause in matches:
+        field, query = clause[0], clause[1]
+        boost = float(clause[2]) if len(clause) > 2 else 1.0
+        gathered = []
+        for n_f, avgdl_f, term, bst in _gather_field_terms(
+                reader, [(field, query, boost)]):
+            docs, tfs, dls = reader.postings(term)
+            if len(docs):
+                gathered.append((n_f, avgdl_f, docs, tfs, dls, bst))
+        if gathered:
+            per_clause.append(gathered)
+    if not per_clause:
+        return []
+    union = np.unique(np.concatenate(
+        [g[2] for cl in per_clause for g in cl]))
+
+    allow, exclude = _resolve_filters(reader, filters)
+    mask = _filter_mask(union, allow, exclude)
+    if mask is not None:
+        union = union[mask]
+        if not len(union):
+            return []
+
+    best = np.zeros(len(union), dtype=np.float64)
+    total = np.zeros(len(union), dtype=np.float64)
+    for gathered in per_clause:
+        cs = np.zeros(len(union), dtype=np.float64)
+        _accumulate_scores(cs, union, gathered, reader.k1, reader.b)
+        np.maximum(best, cs, out=best)
+        total += cs
+    scores = best + tie_breaker * (total - best)
     live = scores > 0.0
     return _topk_from_scores(union[live], scores[live], k)
 

@@ -692,6 +692,168 @@ def q_geo_radius(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def q_dis_max(sf_dir: str) -> pd.DataFrame:
+    """ES dis_max / multi_match best_fields: per-clause BM25 scores combine
+    as best + tie_breaker * rest (tie_breaker=0.3) instead of the
+    bool-should sum."""
+    from ..index.fielded import search_dis_max
+    from ..index.reader import IndexReader
+
+    reader = IndexReader(_fielded_index_for(sf_dir))
+    res = search_dis_max(reader, [("text", "data spark window"),
+                                  ("source", "src3")],
+                         k=200, tie_breaker=0.3)
+    return _fielded_topk(reader, res)
+
+
+def q_terms_filter(sf_dir: str) -> pd.DataFrame:
+    """ES ``terms`` filter (SQL IN): match restricted to docs whose keyword
+    field holds any of the listed values."""
+    from ..index.fielded import TermsFilter, search_fields
+    from ..index.reader import IndexReader
+
+    reader = IndexReader(_fielded_index_for(sf_dir))
+    res = search_fields(reader, [("text", "data spark window")], k=200,
+                        filters=[TermsFilter("lang", ["en", "fr"])])
+    return _fielded_topk(reader, res)
+
+
+def _nullable_index_for(sf_dir: str) -> str:
+    """Fielded index over ``documents`` with a NULLABLE docvalue column
+    (opt_chars = n_chars where source != 'src0', else NULL) — the ES
+    missing-field shape the ``exists`` query serves."""
+    from ..index.build import build_index
+
+    doc_path = os.path.join(sf_dir, "documents.parquet")
+    tag = hashlib.sha256(
+        f"nullable:{doc_path}:{os.path.getsize(doc_path)}".encode()
+    ).hexdigest()[:12]
+    index_dir = os.path.join("/tmp", "dcray_index_cache", "nul_" + tag)
+
+    def prep(t: pa.Table) -> pa.Table:
+        urls = [f"doc://{d}" for d in t["doc_id"].to_pylist()]
+        opt = pc.if_else(pc.equal(t["source"], "src0"),
+                         pa.nulls(len(t), pa.int64()),
+                         pc.cast(t["n_chars"], pa.int64()))
+        return pa.table({"url": pa.array(urls, pa.string()),
+                         "text": t["text"], "opt_chars": opt})
+
+    ds = rd.read_parquet(doc_path,
+                         columns=["doc_id", "text", "source",
+                                  "n_chars"]).map_batches(
+        prep, batch_format="pyarrow")
+    build_index(ds, index_dir, fields={"text": "text"},
+                docvalue_fields={"opt_chars": "opt_chars"},
+                num_buckets=8, salt_shards=4, head_min_df=64,
+                input_tag=tag, batch_size=1024)
+    return index_dir
+
+
+def q_exists_filter(sf_dir: str) -> pd.DataFrame:
+    """ES ``exists`` query: match restricted to docs where a nullable
+    docvalue column is non-null."""
+    from ..index.fielded import ExistsFilter, search_fields
+    from ..index.reader import IndexReader
+
+    reader = IndexReader(_nullable_index_for(sf_dir))
+    res = search_fields(reader, [("text", "data spark window")], k=200,
+                        filters=[ExistsFilter("opt_chars")])
+    return _fielded_topk(reader, res)
+
+
+def q_stats_agg(sf_dir: str) -> pd.DataFrame:
+    """ES ``stats`` aggregation over the n_chars docvalue column."""
+    from ..index.aggs import stats_agg
+    from ..index.reader import IndexReader
+
+    reader = IndexReader(_fielded_index_for(sf_dir))
+    s = stats_agg(reader, "n_chars")
+    return pd.DataFrame({
+        "n": pd.Series([s["count"]], dtype="int64"),
+        "mn": round_away([s["min"]], 6),
+        "mx": round_away([s["max"]], 6),
+        "sm": round_away([s["sum"]], 6),
+        "avg": round_away([s["avg"]], 6),
+    })
+
+
+def q_histogram_agg(sf_dir: str) -> pd.DataFrame:
+    """ES ``histogram`` aggregation: fixed-interval (50) numeric buckets
+    over n_chars."""
+    from ..index.aggs import histogram_agg
+    from ..index.reader import IndexReader
+
+    reader = IndexReader(_fielded_index_for(sf_dir))
+    rows = histogram_agg(reader, "n_chars", interval=50.0)
+    return pd.DataFrame({
+        "bucket": pd.Series([b for b, _ in rows], dtype="float64"),
+        "n": pd.Series([n for _, n in rows], dtype="int64"),
+    })
+
+
+def q_cardinality_agg(sf_dir: str) -> pd.DataFrame:
+    """ES ``cardinality`` aggregation (exact merge path — the HLL scale
+    path is accuracy-tested in tests/test_aggs.py)."""
+    from ..index.aggs import cardinality_agg
+    from ..index.reader import IndexReader
+
+    reader = IndexReader(_fielded_index_for(sf_dir))
+    n = cardinality_agg(reader, "n_chars", exact=True)
+    return pd.DataFrame({"n_distinct": pd.Series([n], dtype="int64")})
+
+
+def q_repetition(sf_dir: str) -> pd.DataFrame:
+    """Gopher-style repetition quality signals (top-unigram fraction,
+    duplicated-word fraction, top-bigram fraction) per document."""
+    from ..stages.text import RepetitionStats
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(RepetitionStats(), batch_format="pyarrow").to_pandas()
+    for c in ("top_unigram_frac", "dup_word_frac", "top_bigram_frac"):
+        out[c] = round_away(out[c], 6)
+    return (out[["doc_id", "top_unigram_frac", "dup_word_frac",
+                 "top_bigram_frac"]]
+            .sort_values("doc_id").reset_index(drop=True))
+
+
+def q_significant_terms(sf_dir: str) -> pd.DataFrame:
+    """ES ``significant_terms`` (JLH): text-field terms over-represented in
+    the lang='en' foreground vs the whole corpus."""
+    from ..index.aggs import significant_terms
+    from ..index.fielded import KeywordFilter
+    from ..index.reader import IndexReader
+
+    reader = IndexReader(_fielded_index_for(sf_dir))
+    rows = significant_terms(reader, [KeywordFilter("lang", "en")],
+                             field="text", top_n=500, min_fg_df=5)
+    # deep-fetch then re-rank by (rounded score, term): cross-engine-stable
+    # ordering, same convention as the bm25 gates
+    df = pd.DataFrame({
+        "term": [t for t, _, _, _ in rows],
+        "fg_df": pd.Series([f for _, f, _, _ in rows], dtype="int64"),
+        "bg_df": pd.Series([b for _, _, b, _ in rows], dtype="int64"),
+        "score": round_away([s for _, _, _, s in rows], 6),
+    })
+    return (df.sort_values(["score", "term"], ascending=[False, True])
+            .head(10).reset_index(drop=True))
+
+
+def q_percentiles_agg(sf_dir: str) -> pd.DataFrame:
+    """ES ``percentiles`` aggregation — exact type-1 inverted CDF
+    (percentile(q) = smallest v with cumulative count >= ceil(q*N)),
+    mirrored verbatim by the SQL oracle."""
+    from ..index.aggs import percentiles_agg
+    from ..index.reader import IndexReader
+
+    reader = IndexReader(_fielded_index_for(sf_dir))
+    qs = (0.25, 0.5, 0.75, 0.95)
+    p = percentiles_agg(reader, "n_chars", qs=qs)
+    return pd.DataFrame({
+        "q": pd.Series(list(qs), dtype="float64"),
+        "value": pd.Series([p[q] for q in qs], dtype="float64"),
+    })
+
+
 def _incremental_gens(sf_dir: str) -> tuple[list[str], str]:
     """Build (or reuse) the two doc_id-parity generation indexes over
     ``documents``; returns (index_dirs, cache_tag)."""

@@ -136,3 +136,69 @@ class Fingerprint(Stage):
             fps[i] = _mix64(np.array([acc], np.uint64))[0]
         batch = batch.append_column("fp_md5", pa.array(md5s, pa.string()))
         return batch.append_column("fp_sketch", pa.array(fps, pa.uint64()))
+
+
+@dataclass
+class RepetitionStats(Stage):
+    """Gopher-style repetition signals per doc (Rae et al. 2021 §A1.1, the
+    standard web-text repetition filters), token-level over the frozen norm
+    analyzer:
+
+    - ``top_unigram_frac``: count of the most frequent token / n_tokens
+    - ``dup_word_frac``: fraction of tokens occurring more than once
+    - ``top_bigram_frac``: count of the most frequent bigram / (n_tokens−1)
+
+    Fully vectorized across the batch: one dictionary-encode of the flat
+    token stream, np.unique group counts keyed by (doc, code), and
+    scatter-max/-add folds — no per-document Python loop."""
+
+    text_col: str = "text"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from itertools import chain
+
+        texts = ["" if t is None else t
+                 for t in batch[self.text_col].to_pylist()]
+        toks = tokenize_many(texts)
+        n = len(texts)
+        lens = np.fromiter((len(t) for t in toks), np.int64, count=n)
+        flat = list(chain.from_iterable(toks))
+        top1 = np.zeros(n, np.float64)
+        dupc = np.zeros(n, np.float64)
+        top2 = np.zeros(n, np.float64)
+        if flat:
+            enc = pa.array(flat, pa.large_string()).dictionary_encode()
+            codes = enc.indices.to_numpy().astype(np.int64)
+            vsize = len(enc.dictionary)
+            doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+
+            key = doc_idx * vsize + codes
+            uk, counts = np.unique(key, return_counts=True)
+            gdoc = uk // vsize
+            np.maximum.at(top1, gdoc, counts.astype(np.float64))
+            np.add.at(dupc, gdoc,
+                      np.where(counts > 1, counts, 0).astype(np.float64))
+
+            # bigrams: successive positions within the same doc; re-encode
+            # the (c1, c2) pairs first so the (doc, bigram) key stays far
+            # from int64 overflow at any batch size
+            same = doc_idx[:-1] == doc_idx[1:]
+            if same.any():
+                c1 = codes[:-1][same]
+                c2 = codes[1:][same]
+                bd = doc_idx[:-1][same]
+                _, bcode = np.unique(c1 * np.int64(vsize) + c2,
+                                     return_inverse=True)
+                nb = int(bcode.max()) + 1
+                bk, bcounts = np.unique(bd * np.int64(nb) + bcode,
+                                        return_counts=True)
+                np.maximum.at(top2, bk // nb, bcounts.astype(np.float64))
+
+        safe = np.maximum(lens, 1).astype(np.float64)
+        safe2 = np.maximum(lens - 1, 1).astype(np.float64)
+        batch = batch.append_column(
+            "top_unigram_frac", pa.array(top1 / safe, pa.float64()))
+        batch = batch.append_column(
+            "dup_word_frac", pa.array(dupc / safe, pa.float64()))
+        return batch.append_column(
+            "top_bigram_frac", pa.array(top2 / safe2, pa.float64()))

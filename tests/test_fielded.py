@@ -349,3 +349,95 @@ def test_boosted_clauses(fielded_corpus, fielded_index):
            [(d, round(s, 9)) for d, s in want]
     # pruned path scales identically
     assert search_fields_pruned(r, m, k=10) == got
+
+
+def test_dis_max(fielded_corpus, fielded_index):
+    """dis_max == max clause score + tie_breaker * rest; tie=1.0 == the
+    bool-should sum (search_fields)."""
+    from deces_dataprep_ray.index.fielded import search_dis_max
+
+    df, _ = fielded_corpus
+    r = IndexReader(fielded_index)
+    clauses = [("body", "data spark"), ("title", "data window")]
+    per = [dict(_brute(df, [c], k=10**6)) for c in clauses]
+    docs = set().union(*per)
+    for tie in (0.0, 0.3, 1.0):
+        got = search_dis_max(r, clauses, k=10, tie_breaker=tie)
+        want = []
+        for d in docs:
+            ss = [p.get(d, 0.0) for p in per]
+            b = max(ss)
+            want.append((d, b + tie * (sum(ss) - b)))
+        want = sorted(want, key=lambda kv: (-kv[1], kv[0]))[:10]
+        _cmp(got, want)
+    # tie_breaker=1.0 degenerates to the should-sum
+    _cmp(search_dis_max(r, clauses, k=10, tie_breaker=1.0),
+         search_fields(r, clauses, k=10))
+
+
+def test_dis_max_boost_and_filter(fielded_corpus, fielded_index):
+    from deces_dataprep_ray.index.fielded import search_dis_max
+
+    df, _ = fielded_corpus
+    r = IndexReader(fielded_index)
+    clauses = [("body", "data spark", 2.0), ("title", "data window", 0.5)]
+    per = []
+    for f, q, bst in clauses:
+        per.append({d: bst * s for d, s in _brute(df, [(f, q)], k=10**6)})
+    keep = lambda i: df["lang"][i] == "en"  # noqa: E731
+    dids = [doc_id_from_url(u) for u in df["url"]]
+    lookup = {dids[i]: i for i in range(len(df))}
+    docs = {d for p in per for d in p if keep(lookup[d])}
+    want = []
+    for d in docs:
+        ss = [p.get(d, 0.0) for p in per]
+        want.append((d, max(ss) + 0.4 * (sum(ss) - max(ss))))
+    want = sorted(want, key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = search_dis_max(r, clauses, k=10, tie_breaker=0.4,
+                         filters=[KeywordFilter("lang", "en")])
+    _cmp(got, want)
+
+
+def test_terms_filter(fielded_corpus, fielded_index):
+    from deces_dataprep_ray.index.fielded import TermsFilter
+
+    df, _ = fielded_corpus
+    r = IndexReader(fielded_index)
+    got = search_fields(r, [("body", "data spark")], k=10,
+                        filters=[TermsFilter("lang", ["fr", "de"])])
+    _cmp(got, _brute(df, [("body", "data spark")],
+                     keep=lambda i: df["lang"][i] in ("fr", "de")))
+    # empty / unknown values -> empty allow-set -> no hits
+    assert search_fields(r, [("body", "data spark")], k=10,
+                         filters=[TermsFilter("lang", ["xx"])]) == []
+
+
+def test_exists_filter(tmp_path):
+    """exists over a NULLABLE docvalue column (ES missing-field semantics)."""
+    from deces_dataprep_ray.index.fielded import ExistsFilter
+
+    rng = np.random.default_rng(11)
+    vocab = ["data", "spark", "window", "row"]
+    n = 30
+    df = pd.DataFrame({
+        "url": [f"doc://{i}" for i in range(n)],
+        "body": [" ".join(rng.choice(vocab, rng.integers(3, 8)))
+                 for _ in range(n)],
+        "title": [""] * n,
+        "opt": [float(i) if i % 3 else None for i in range(n)],
+    })
+    src = str(tmp_path / "src.parquet")
+    df.to_parquet(src)
+    idx = str(tmp_path / "idx")
+    build_index(src, idx, fields={"body": "body"},
+                docvalue_fields={"opt": "opt"},
+                num_buckets=2, salt_shards=2, head_min_df=1000,
+                batch_size=16)
+    r = IndexReader(idx)
+    got = search_fields(r, [("body", "data spark")], k=10,
+                        filters=[ExistsFilter("opt")])
+    want = _brute(df, [("body", "data spark")],
+                  keep=lambda i: df["opt"][i] is not None
+                  and not pd.isna(df["opt"][i]))
+    _cmp(got, want)
+    assert got, "fixture should produce hits"

@@ -194,3 +194,32 @@ def test_real_image_features_from_pixels():
     out = DecodeImage(dim=16)(img_rows)
     want = _image_features(decode_ppm(img_rows["payload"][0].as_py()), 16)
     assert np.allclose(np.asarray(out["feature"][0].as_py()), want)
+
+
+def test_repetition_stats():
+    """Vectorized repetition signals == naive per-doc recomputation."""
+    from collections import Counter
+
+    from deces_dataprep_ray.stages.text import RepetitionStats
+
+    texts = [
+        "a b c d e",                    # all unique
+        "a a a b",                      # heavy unigram repetition
+        "x y x y x y",                  # bigram repetition
+        "w",                            # single token (no bigrams)
+        "",                             # empty
+        "dog cat dog cat dog bird",
+    ]
+    batch = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    out = RepetitionStats()(batch)
+    for i, t in enumerate(texts):
+        ts = tokenize(t)
+        n = len(ts)
+        uni = Counter(ts)
+        bigr = Counter(zip(ts, ts[1:]))
+        top1 = max(uni.values()) / n if n else 0.0
+        dupf = sum(c for c in uni.values() if c > 1) / n if n else 0.0
+        top2 = (max(bigr.values()) / (n - 1)) if n >= 2 else 0.0
+        assert out["top_unigram_frac"][i].as_py() == pytest.approx(top1), t
+        assert out["dup_word_frac"][i].as_py() == pytest.approx(dupf), t
+        assert out["top_bigram_frac"][i].as_py() == pytest.approx(top2), t
