@@ -315,3 +315,61 @@ def percentiles_agg(reader: IndexReader, column: str,
         rank = max(1, int(np.ceil(q * n)))
         out[q] = float(vals[np.searchsorted(cum, rank, side="left")])
     return out
+
+
+def range_agg(reader: IndexReader, column: str,
+              ranges: list[tuple]) -> list[tuple[str, int]]:
+    """ES ``range`` aggregation: explicit [from, to) buckets (from
+    inclusive, to exclusive — the ES contract; either edge may be None for
+    open-ended). Buckets may overlap — a doc counts in every bucket it
+    falls in, exactly ES's behavior. Nulls are skipped (missing docs).
+
+    Same distributed shape as ``histogram_agg``: Ray reads only the one
+    column, each batch folds to a fixed-width per-bucket count row, the
+    driver sums the tiny partials. Returns [(key, doc_count)] in the given
+    range order, ES's "from-to" key format."""
+
+    def key_of(lo, hi) -> str:
+        ls = "*" if lo is None else f"{float(lo):g}"
+        hs = "*" if hi is None else f"{float(hi):g}"
+        return f"{ls}-{hs}"
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t[column].drop_null().combine_chunks()
+        if pa.types.is_timestamp(v.type) or pa.types.is_date(v.type):
+            v = v.cast(pa.int64())  # epoch units — range edges in the same
+        arr = v.cast(pa.float64()).to_numpy(zero_copy_only=False)
+        counts = []
+        for lo, hi in ranges:
+            m = np.ones(len(arr), bool)
+            if lo is not None:
+                m &= arr >= float(lo)
+            if hi is not None:
+                m &= arr < float(hi)
+            counts.append(int(m.sum()))
+        return pa.table({"i": pa.array(range(len(ranges)), pa.int32()),
+                         "n": pa.array(counts, pa.int64())})
+
+    parts = _read_dv(reader, column).map_batches(
+        partial, batch_format="pyarrow").take_all()
+    acc = Counter()
+    for row in parts:
+        acc[int(row["i"])] += int(row["n"])
+    return [(key_of(lo, hi), acc.get(i, 0))
+            for i, (lo, hi) in enumerate(ranges)]
+
+
+def filters_agg(reader: IndexReader, filters: dict) -> dict[str, int]:
+    """ES ``filters`` aggregation: doc_count per named filter. Each value
+    is one of the fielded filter objects (Keyword/Terms/Range/Geo/Exists/
+    NotKeyword); counts come from the filter's own execution strategy —
+    postings length for keyword terms (dictionary metadata, no scan),
+    predicate-pushdown docvalues scan for range/geo. A negative
+    (must_not) filter counts corpus − |excluded|."""
+    out: dict[str, int] = {}
+    for name, flt in filters.items():
+        if getattr(flt, "negative", False):
+            out[name] = int(reader.n_docs) - len(flt.exclude_ids(reader))
+        else:
+            out[name] = len(flt.doc_ids(reader))
+    return out

@@ -235,13 +235,26 @@ def search_fields(
                          "(use 'exact', 'pruned' or 'auto')")
     if algorithm == "pruned":
         return search_fields_pruned(reader, matches, k, filters)
+    union, scores = _score_fields_all(reader, matches, filters)
+    if not len(union):
+        return []
+    live = scores > 0.0
+    return _topk_from_scores(union[live], scores[live], k)
+
+
+def _score_fields_all(
+    reader: IndexReader, matches, filters=None
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exhaustive fielded scoring: (sorted doc_id union, float64 scores)
+    for every doc matching ≥1 (field, term), already filter-masked — the
+    fielded analogue of ``query._score_all``."""
     gathered = []  # (n_f, avgdl_f, docs, tfs, dls, boost), (field, term) asc
     for n_f, avgdl_f, term, boost in _gather_field_terms(reader, matches):
         docs, tfs, dls = reader.postings(term)
         if len(docs):
             gathered.append((n_f, avgdl_f, docs, tfs, dls, boost))
     if not gathered:
-        return []
+        return np.empty(0, np.uint64), np.empty(0, np.float64)
     union = np.unique(np.concatenate([g[2] for g in gathered]))
 
     allow, exclude = _resolve_filters(reader, filters)
@@ -249,12 +262,11 @@ def search_fields(
     if mask is not None:
         union = union[mask]
         if not len(union):
-            return []
+            return union, np.empty(0, np.float64)
 
     scores = np.zeros(len(union), dtype=np.float64)
     _accumulate_scores(scores, union, gathered, reader.k1, reader.b)
-    live = scores > 0.0
-    return _topk_from_scores(union[live], scores[live], k)
+    return union, scores
 
 
 def _accumulate_scores(scores: np.ndarray, union: np.ndarray,
@@ -499,3 +511,156 @@ def facet_date_histogram(reader: IndexReader, column: str,
     for row in parts:
         acc[row["bucket"]] += int(row["n"])
     return sorted(acc.items())
+
+
+def sort_by_field(reader: IndexReader, column: str, k: int = 10,
+                  descending: bool = True,
+                  filters=None) -> pa.Table:
+    """ES ``sort: [{column: order}]`` — top-k docs by a docvalue column
+    (tie-break ascending doc_id, ES ``[_score→field, _id]`` order without a
+    scoring clause), optional bool filter context.
+
+    Distributed top-k: Ray reads ONLY (doc_id, column) from the docvalues
+    parquet; each batch keeps its own k best rows (a per-batch combiner, so
+    one ≤k-row partial per batch crosses the cluster), the driver merges
+    the partials. Null values are skipped (SQL ``IS NOT NULL`` — the gate's
+    documented "missing" semantics). Returns a (doc_id, column) Arrow
+    table, k rows."""
+    import os
+
+    import ray.data as rd
+
+    allow, exclude = _resolve_filters(reader, filters)
+    if allow is not None and not len(allow):
+        return pa.table({"doc_id": pa.array([], pa.uint64())})
+    order = [(column, "descending" if descending else "ascending"),
+             ("doc_id", "ascending")]
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[column]))
+        mask = _filter_mask(t["doc_id"].to_numpy().astype(np.uint64),
+                            allow, exclude)
+        if mask is not None:
+            t = t.filter(pa.array(mask))
+        if t.num_rows > k:
+            t = t.take(pc.sort_indices(t, sort_keys=order)[:k])
+        return t
+
+    import ray
+
+    dv_dir = os.path.join(reader.index_dir, "docvalues")
+    refs = (rd.read_parquet(dv_dir, columns=["doc_id", column])
+            .map_batches(partial, batch_format="pyarrow")
+            .to_arrow_refs())
+    parts = [t for t in ray.get(refs) if t.num_rows]
+    if not parts:
+        return pa.table({"doc_id": pa.array([], pa.uint64())})
+    merged = pa.concat_tables(parts)  # ≤ k rows per input batch
+    return merged.take(pc.sort_indices(merged, sort_keys=order)[:k])
+
+
+def collapse_topk(reader: IndexReader, query: str | None,
+                  collapse_field: str,
+                  k: int = 10, filters=None, matches=None,
+                  _key_chunk: int = 4096) -> list[tuple]:
+    """ES field collapsing (``collapse: {field}``): rank by BM25 ``_score``,
+    return the single best-scoring doc per collapse key, top-k keys ordered
+    by that best score (tie-break ascending doc_id — the total order every
+    scorer here uses).
+
+    Exact and output-bounded: the scored union is walked in (score desc,
+    doc_id asc) order and collapse keys are resolved through the
+    row-group-pruned docstore in chunks, stopping as soon as k distinct
+    keys have a winner — only the ranked PREFIX needed to fill k groups is
+    ever looked up, never the whole match set (ES collapses per-shard
+    top-groups the same way). Query context: ``query`` (unfielded) or
+    ``matches`` (fielded bool clauses). Returns [(doc_id, score, key)]."""
+    from .query import _score_all
+
+    if matches is not None:
+        union, scores = _score_fields_all(reader, matches, filters)
+        live = scores > 0.0
+        union, scores = union[live], scores[live]
+    else:
+        union, scores = _score_all(reader, query)
+        allow, exclude = _resolve_filters(reader, filters)
+        mask = _filter_mask(union, allow, exclude)
+        if mask is not None:
+            union, scores = union[mask], scores[mask]
+    if not len(union):
+        return []
+    order = np.lexsort((union, -scores))
+    best: dict = {}
+    out: list[tuple] = []
+    for at in range(0, len(order), _key_chunk):
+        idx = order[at: at + _key_chunk]
+        tbl = reader.docstore.lookup(union[idx], [collapse_field])
+        keys = dict(zip(tbl["doc_id"].to_numpy().tolist(),
+                        tbl[collapse_field].to_pylist()))
+        for i in idx:
+            d = int(union[i])
+            key = keys.get(d)
+            if key is None or key in best:
+                continue
+            best[key] = True
+            out.append((d, float(scores[i]), key))
+            if len(out) >= k:
+                return out
+    return out
+
+
+def function_score(reader: IndexReader, query: str | None, field: str,
+                   k: int = 10, modifier: str = "log1p",
+                   factor: float = 1.0, missing: float = 1.0,
+                   boost_mode: str = "multiply",
+                   filters=None, matches=None) -> list[tuple[int, float]]:
+    """ES ``function_score`` with ``field_value_factor``: final score =
+    BM25 ⊕ modifier(factor · field_value), ⊕ = multiply or sum
+    (``boost_mode``). Docs missing the field use ``missing``
+    (pre-modifier, ES semantics).
+
+    The factor can reorder arbitrarily, so the exact top-k requires the
+    full match union scored (the exhaustive scorer's existing cost) plus
+    ONE row-group-pruned docstore gather of that union's field values —
+    O(match set), never O(corpus). The scale path at 10^12 docs is folding
+    a monotone factor's per-block maximum into the block-max metadata at
+    build time; this serves the exact semantics the oracle checks.
+
+    The query context is either ``query`` (unfielded match) or ``matches``
+    (fielded bool clauses, per-field stats)."""
+    from .query import _score_all
+
+    if matches is not None:
+        union, scores = _score_fields_all(reader, matches, filters)
+        live = scores > 0.0
+        union, scores = union[live], scores[live]
+    else:
+        union, scores = _score_all(reader, query)
+        allow, exclude = _resolve_filters(reader, filters)
+        mask = _filter_mask(union, allow, exclude)
+        if mask is not None:
+            union, scores = union[mask], scores[mask]
+    if not len(union):
+        return []
+    tbl = reader.docstore.lookup(union, [field])
+    vals = np.full(len(union), float(missing), np.float64)
+    got_ids = tbl["doc_id"].to_numpy().astype(np.uint64)
+    # cast through float64 so nulls become NaN (an int column with nulls
+    # would otherwise round-trip as object dtype); timestamps hop through
+    # int64 epoch units first (no direct timestamp→double cast in Arrow)
+    col = tbl[field]
+    if pa.types.is_timestamp(col.type) or pa.types.is_date(col.type):
+        col = pc.cast(col, pa.int64())
+    got = pc.cast(col, pa.float64()).to_numpy(zero_copy_only=False)
+    pos = np.searchsorted(union, got_ids)
+    ok = ~np.isnan(got)
+    vals[pos[ok]] = got[ok]
+    fv = factor * vals
+    if modifier == "log1p":
+        fv = np.log1p(fv)
+    elif modifier == "sqrt":
+        fv = np.sqrt(fv)
+    elif modifier != "none":
+        raise ValueError(f"unknown modifier {modifier!r}")
+    out = scores * fv if boost_mode == "multiply" else scores + fv
+    return _topk_from_scores(union, out, k)

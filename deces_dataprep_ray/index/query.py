@@ -533,6 +533,116 @@ def search_prefix(
     return search_exact(reader, joined, k)
 
 
+def expand_regexp(reader: IndexReader, pattern: str,
+                  max_expansions: int = 1024,
+                  field: str | None = None,
+                  _literal_prefix: str | None = None) -> list[str]:
+    """Terms fully matching ``pattern`` (ES ``regexp`` query semantics:
+    the regex is anchored to the WHOLE term), from the termstats
+    dictionary. A literal prefix (given or extracted from the pattern)
+    becomes a parquet ``starts_with`` row-group-pruning pre-filter so an
+    anchored scan does not decode the whole dictionary; the regex then
+    verifies exactly. Expansion capped like ES ``max_expansions``/
+    ``rewrite: top_terms_N`` (largest-df terms kept)."""
+    import os
+    import re
+
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pa_ds
+
+    ts_dir = os.path.join(reader.index_dir, "termstats")
+    if not os.path.isdir(ts_dir):
+        return []
+    if _literal_prefix is None:
+        # longest leading run of plain literal chars (stop at any regex
+        # metachar; a trailing literal before '*'/'?'/'{' is NOT safe to
+        # include — it may repeat zero times — so back off one char).
+        # An alternation ANYWHERE voids the prefix: 'ab|cd' matches terms
+        # that do not start with 'ab'.
+        if "|" in pattern:
+            _literal_prefix = ""
+        else:
+            m = re.match(r"[^.^$*+?()\[\]{}|\\]*", pattern)
+            lit = m.group(0) if m else ""
+            if lit and len(lit) < len(pattern) and pattern[len(lit)] in "*?{":
+                lit = lit[:-1]
+            _literal_prefix = lit
+    scan_prefix = (f"{field}:{_literal_prefix}" if field
+                   else _literal_prefix)
+    flt = (pc.starts_with(pc.field("term"), scan_prefix)
+           if scan_prefix else None)
+    tbl = pa_ds.dataset(ts_dir).to_table(columns=["term", "df"], filter=flt)
+    terms_arr = tbl["term"]
+    if field:
+        # strip 'field:' then anchor-match the bare token
+        terms_arr = pc.utf8_slice_codeunits(
+            terms_arr.combine_chunks(), len(field) + 1, 2**31 - 1)
+    keep = pc.match_substring_regex(terms_arr, f"^(?:{pattern})$")
+    idx = np.flatnonzero(np.asarray(keep.to_numpy(zero_copy_only=False),
+                                    bool))
+    terms = [terms_arr[int(i)].as_py() for i in idx]
+    if len(terms) > max_expansions:
+        dfs = tbl["df"].to_numpy()[idx]
+        top = np.argsort(-dfs, kind="stable")[:max_expansions]
+        terms = [terms[i] for i in sorted(top)]
+    return sorted(terms)
+
+
+_WILDCARD_META = {"*": ".*", "?": "."}
+
+
+def wildcard_to_regexp(pattern: str) -> tuple[str, str]:
+    """ES ``wildcard`` pattern → (anchored-regex body, literal prefix).
+    ``*`` = any run, ``?`` = any single char; everything else literal."""
+    import re
+
+    parts: list[str] = []
+    for ch in pattern:
+        parts.append(_WILDCARD_META.get(ch) or re.escape(ch))
+    m = re.match(r"[^*?]*", pattern)
+    return "".join(parts), (m.group(0) if m else "")
+
+
+def search_wildcard(
+    reader: IndexReader, pattern: str, k: int = 10,
+    max_expansions: int = 1024,
+    field: str | None = None,
+) -> list[tuple[int, float]]:
+    """ES ``wildcard`` query: the pattern expands against the term
+    dictionary (``*``/``?`` metachars); the expanded unique term set scores
+    as a plain OR BM25, each expanded term contributing its own idf — the
+    same multi-term expansion semantics as ``search_prefix``, mirrored by
+    the SQL oracle. With ``field``, expansion + scoring are scoped to that
+    field of a fielded index."""
+    regex, lit = wildcard_to_regexp(pattern.lower())
+    expanded = expand_regexp(reader, regex, max_expansions, field=field,
+                             _literal_prefix=lit)
+    return _score_expansion(reader, expanded, k, field)
+
+
+def search_regexp(
+    reader: IndexReader, pattern: str, k: int = 10,
+    max_expansions: int = 1024,
+    field: str | None = None,
+) -> list[tuple[int, float]]:
+    """ES ``regexp`` query: anchored full-term regex expansion, OR BM25
+    over the expansion (see ``search_wildcard``)."""
+    expanded = expand_regexp(reader, pattern, max_expansions, field=field)
+    return _score_expansion(reader, expanded, k, field)
+
+
+def _score_expansion(reader: IndexReader, expanded: list[str], k: int,
+                     field: str | None) -> list[tuple[int, float]]:
+    if not expanded:
+        return []
+    joined = " ".join(sorted(set(expanded)))
+    if field:
+        from .fielded import search_fields
+
+        return search_fields(reader, [(field, joined)], k)
+    return search_exact(reader, joined, k)
+
+
 def search(
     reader: IndexReader, query: str, k: int = 10, algorithm: str = "auto"
 ) -> list[tuple[int, float]]:
@@ -841,3 +951,40 @@ def search_min_should_match(
         hits[pos] += 1
     keep = hits >= min_match
     return _topk_from_scores(union[keep], scores[keep], k)
+
+
+def select_mlt_terms(reader: IndexReader, like_text: str,
+                     max_query_terms: int = 25, min_term_freq: int = 1,
+                     min_doc_freq: int = 1) -> list[str]:
+    """ES ``more_like_this`` term selection: analyze the like-text, keep
+    terms with tf ≥ min_term_freq and corpus df ≥ min_doc_freq, rank by
+    tf·idf (this engine's idf formula — frozen, mirrored by the SQL
+    oracle), keep the top ``max_query_terms`` (tie-break ascending term).
+    df comes from the term dictionary / posting metadata — never a corpus
+    scan."""
+    from collections import Counter
+
+    tf = Counter(tokenize(like_text))
+    scored: list[tuple[float, str]] = []
+    for term, cnt in tf.items():
+        if cnt < min_term_freq:
+            continue
+        df = reader.df(term)
+        if df < min_doc_freq or df <= 0:
+            continue
+        scored.append((cnt * idf(reader.n_docs, df), term))
+    scored.sort(key=lambda p: (-p[0], p[1]))
+    return sorted(t for _, t in scored[:max_query_terms])
+
+
+def more_like_this(reader: IndexReader, like_text: str, k: int = 10,
+                   max_query_terms: int = 25, min_term_freq: int = 1,
+                   min_doc_freq: int = 1) -> list[tuple[int, float]]:
+    """ES ``more_like_this`` (``like`` given as text): the selected
+    representative terms run as a plain OR BM25 disjunction — exactly the
+    query ES's MLT builds after its term selection."""
+    terms = select_mlt_terms(reader, like_text, max_query_terms,
+                             min_term_freq, min_doc_freq)
+    if not terms:
+        return []
+    return search_exact(reader, " ".join(terms), k)

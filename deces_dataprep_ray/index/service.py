@@ -43,6 +43,61 @@ class _QueryWorker:
         return _sf(self.reader, matches, k, filters=filters,
                    algorithm=algorithm)
 
+    def msearch_many(self, requests: list[dict]):
+        """Heterogeneous request batch (ES ``_msearch`` body lines): each
+        request is {"type": <match|and|phrase|prefix|fuzzy|wildcard|regexp|
+        fielded|dis_max|more_like_this>, ...kwargs}. A failing request
+        yields {"error": ...} in its slot instead of failing the batch —
+        ES per-line error semantics."""
+        from . import fielded as F
+        from . import query as Q
+
+        dispatch = {
+            "match": lambda r: _search(self.reader, r["query"],
+                                       r.get("k", 10),
+                                       algorithm=r.get("algorithm", "auto")),
+            "and": lambda r: Q.search_and(self.reader, r["query"],
+                                          r.get("k", 10)),
+            "phrase": lambda r: Q.search_phrase(
+                self.reader, r["query"], r.get("k", 10),
+                slop=r.get("slop", 0), field=r.get("field"),
+                filters=r.get("filters")),
+            "prefix": lambda r: Q.search_prefix(
+                self.reader, r["query"], r.get("k", 10),
+                field=r.get("field")),
+            "fuzzy": lambda r: Q.search_fuzzy(
+                self.reader, r["query"], r.get("k", 10),
+                max_dist=r.get("max_dist", 1)),
+            "wildcard": lambda r: Q.search_wildcard(
+                self.reader, r["query"], r.get("k", 10),
+                field=r.get("field")),
+            "regexp": lambda r: Q.search_regexp(
+                self.reader, r["query"], r.get("k", 10),
+                field=r.get("field")),
+            "more_like_this": lambda r: Q.more_like_this(
+                self.reader, r["query"], r.get("k", 10),
+                max_query_terms=r.get("max_query_terms", 25)),
+            "fielded": lambda r: F.search_fields(
+                self.reader, r["matches"], r.get("k", 10),
+                filters=r.get("filters"),
+                algorithm=r.get("algorithm", "exact")),
+            "dis_max": lambda r: F.search_dis_max(
+                self.reader, r["matches"], r.get("k", 10),
+                tie_breaker=r.get("tie_breaker", 0.0),
+                filters=r.get("filters")),
+        }
+        out = []
+        for req in requests:
+            fn = dispatch.get(req.get("type", "match"))
+            if fn is None:
+                out.append({"error": f"unknown type {req.get('type')!r}"})
+                continue
+            try:
+                out.append(fn(req))
+            except Exception as exc:  # per-request isolation, ES-style
+                out.append({"error": f"{type(exc).__name__}: {exc}"})
+        return out
+
     def search_phrase(self, phrase: str, k: int = 10, slop: int = 0,
                       field=None, filters=None):
         from .query import search_phrase as _sp
@@ -131,6 +186,26 @@ class QueryService:
             shards[w].append(q)
         futures = [
             self.workers[w].search_many.remote(shard, k, algorithm)
+            for w, shard in enumerate(shards) if shard
+        ]
+        live = [w for w, shard in enumerate(shards) if shard]
+        results = dict(zip(live, ray.get(futures)))
+        return [results[w][j] for w, j in owners]
+
+    def msearch(self, requests: list[dict]) -> list:
+        """ES ``_msearch``: a heterogeneous request batch (mixed query
+        types — see ``_QueryWorker.msearch_many``) fanned across the pool,
+        results in input order; a failing request returns an
+        ``{"error": ...}`` slot, never fails the batch."""
+        n = len(self.workers)
+        shards: list[list[dict]] = [[] for _ in range(n)]
+        owners: list[tuple[int, int]] = []
+        for i, req in enumerate(requests):
+            w = i % n
+            owners.append((w, len(shards[w])))
+            shards[w].append(req)
+        futures = [
+            self.workers[w].msearch_many.remote(shard)
             for w, shard in enumerate(shards) if shard
         ]
         live = [w for w, shard in enumerate(shards) if shard]
