@@ -96,6 +96,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact-verified near-dup: LSH candidates + exact 5-gram jaccard,
         # SQL-checked (candidate recall ≥ 1 - 6e-7 at the gate's params)
         "ngram_dedup": dq.q_ngram_dedup,
+        # round-3 query surfaces: dictionary-expansion queries, docvalue
+        # sort/collapse/function_score, range + filters aggregations
+        "wildcard": dq.q_wildcard,
+        "regexp": dq.q_regexp,
+        "more_like_this": dq.q_more_like_this,
+        "sort_by_field": dq.q_sort_by_field,
+        "collapse": dq.q_collapse,
+        "function_score": dq.q_function_score,
+        "range_agg": dq.q_range_agg,
+        "filters_agg": dq.q_filters_agg,
         # rows-only (non-SQL-expressible: sketches / LSH; brute-force
         # oracles for these live in tests/test_dedup_ann.py)
         "minhash_pairs": dq.q_minhash_pairs,
@@ -1017,5 +1027,158 @@ def oracle_sql() -> dict[str, str]:
                        (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC,
                      e.vec_id
             LIMIT 10
+        """,
+        # --- round-3 query surfaces ---------------------------------------
+        "wildcard": f"""
+            WITH tok AS (
+                SELECT doc_id, unnest({tok}) AS term FROM documents
+            ),
+            tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+            dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+            stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+            qterms AS (SELECT DISTINCT term FROM tok WHERE term LIKE 's_a%'),
+            df AS (SELECT tf.term, count(*)::DOUBLE AS df
+                   FROM tf JOIN qterms USING (term) GROUP BY tf.term),
+            scores AS (
+                SELECT tf.doc_id,
+                       sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                            * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
+                       ) AS score
+                FROM tf JOIN df ON tf.term = df.term
+                        JOIN dl ON tf.doc_id = dl.doc_id
+                        CROSS JOIN stats s
+                GROUP BY tf.doc_id)
+            SELECT doc_id, round(score, 6) AS score FROM scores
+            ORDER BY round(score, 6) DESC, doc_id LIMIT 10
+        """,
+        "regexp": f"""
+            WITH tok AS (
+                SELECT doc_id, unnest({tok}) AS term FROM documents
+            ),
+            tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+            dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+            stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+            qterms AS (SELECT DISTINCT term FROM tok
+                       WHERE regexp_full_match(term, 's[cm]a.*|.*der')),
+            df AS (SELECT tf.term, count(*)::DOUBLE AS df
+                   FROM tf JOIN qterms USING (term) GROUP BY tf.term),
+            scores AS (
+                SELECT tf.doc_id,
+                       sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                            * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
+                       ) AS score
+                FROM tf JOIN df ON tf.term = df.term
+                        JOIN dl ON tf.doc_id = dl.doc_id
+                        CROSS JOIN stats s
+                GROUP BY tf.doc_id)
+            SELECT doc_id, round(score, 6) AS score FROM scores
+            ORDER BY round(score, 6) DESC, doc_id LIMIT 10
+        """,
+        # more_like_this: like-text tokens (data×3, row×2, join×1) scored
+        # by tf·idf against the corpus df; top-2 terms (tie: term asc) run
+        # as OR BM25 — the engine's frozen MLT selection semantics
+        "more_like_this": f"""
+            WITH tok AS (
+                SELECT doc_id, unnest({tok}) AS term FROM documents
+            ),
+            tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+            dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+            stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+            liketf(term, ltf) AS (VALUES ('data', 3.0), ('row', 2.0),
+                                         ('join', 1.0)),
+            alldf AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+            sel AS (SELECT l.term,
+                           l.ltf * ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5)) AS w
+                    FROM liketf l JOIN alldf d USING (term) CROSS JOIN stats s),
+            qterms AS (SELECT term FROM (
+                SELECT term, row_number() OVER (ORDER BY w DESC, term) AS rn
+                FROM sel) WHERE rn <= 2),
+            df AS (SELECT tf.term, count(*)::DOUBLE AS df
+                   FROM tf JOIN qterms USING (term) GROUP BY tf.term),
+            scores AS (
+                SELECT tf.doc_id,
+                       sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                            * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
+                       ) AS score
+                FROM tf JOIN df ON tf.term = df.term
+                        JOIN dl ON tf.doc_id = dl.doc_id
+                        CROSS JOIN stats s
+                GROUP BY tf.doc_id)
+            SELECT doc_id, round(score, 6) AS score FROM scores
+            ORDER BY round(score, 6) DESC, doc_id LIMIT 10
+        """,
+        "sort_by_field": """
+            SELECT doc_id, n_chars FROM documents
+            ORDER BY n_chars DESC, doc_id LIMIT 10
+        """,
+        "collapse": f"""
+            WITH tok AS (
+                SELECT doc_id, unnest({tok}) AS term FROM documents
+            ),
+            tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+            dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+            stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+            qterms(term) AS (VALUES ('data'), ('spark'), ('window')),
+            df AS (SELECT tf.term, count(*)::DOUBLE AS df
+                   FROM tf JOIN qterms USING (term) GROUP BY tf.term),
+            scores AS (
+                SELECT tf.doc_id,
+                       sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                            * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
+                       ) AS score
+                FROM tf JOIN df ON tf.term = df.term
+                        JOIN dl ON tf.doc_id = dl.doc_id
+                        CROSS JOIN stats s
+                GROUP BY tf.doc_id)
+            SELECT d.lang, round(max(sc.score), 6) AS best_score
+            FROM scores sc JOIN documents d USING (doc_id)
+            GROUP BY d.lang ORDER BY d.lang
+        """,
+        "function_score": f"""
+            WITH tok AS (
+                SELECT doc_id, unnest({tok}) AS term FROM documents
+            ),
+            tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+            dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+            stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+            qterms(term) AS (VALUES ('data'), ('spark'), ('window')),
+            df AS (SELECT tf.term, count(*)::DOUBLE AS df
+                   FROM tf JOIN qterms USING (term) GROUP BY tf.term),
+            scores AS (
+                SELECT tf.doc_id,
+                       sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                            * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
+                       ) AS score
+                FROM tf JOIN df ON tf.term = df.term
+                        JOIN dl ON tf.doc_id = dl.doc_id
+                        CROSS JOIN stats s
+                GROUP BY tf.doc_id)
+            SELECT sc.doc_id,
+                   round(sc.score * ln(1 + d.n_chars), 6) AS score
+            FROM scores sc JOIN documents d USING (doc_id)
+            ORDER BY round(sc.score * ln(1 + d.n_chars), 6) DESC, sc.doc_id
+            LIMIT 10
+        """,
+        "range_agg": """
+            SELECT '*-150' AS key,
+                   (SELECT count(*) FROM documents WHERE n_chars < 150)
+                   AS doc_count
+            UNION ALL SELECT '150-300',
+                   (SELECT count(*) FROM documents
+                    WHERE n_chars >= 150 AND n_chars < 300)
+            UNION ALL SELECT '300-*',
+                   (SELECT count(*) FROM documents WHERE n_chars >= 300)
+            UNION ALL SELECT '100-400',
+                   (SELECT count(*) FROM documents
+                    WHERE n_chars >= 100 AND n_chars < 400)
+        """,
+        "filters_agg": """
+            SELECT 'en' AS name,
+                   (SELECT count(*) FROM documents WHERE lang = 'en')
+                   AS doc_count
+            UNION ALL SELECT 'mid',
+                   (SELECT count(*) FROM documents
+                    WHERE n_chars BETWEEN 100 AND 400)
+            ORDER BY name
         """,
     }

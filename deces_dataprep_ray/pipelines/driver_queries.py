@@ -520,12 +520,13 @@ def q_bm25_prefix(sf_dir: str) -> pd.DataFrame:
 
 def _fielded_index_for(sf_dir: str) -> str:
     """Fielded index over ``documents``: analyzed fields text+source, keyword
-    field lang, docvalue n_chars (the reference's per-field mapping shape)."""
+    field lang, docvalues n_chars + lang (the reference's per-field mapping
+    shape; lang doubles as the collapse key)."""
     from ..index.build import build_index
 
     doc_path = os.path.join(sf_dir, "documents.parquet")
     tag = hashlib.sha256(
-        f"fielded:{doc_path}:{os.path.getsize(doc_path)}".encode()
+        f"fielded2:{doc_path}:{os.path.getsize(doc_path)}".encode()
     ).hexdigest()[:12]
     index_dir = os.path.join("/tmp", "dcray_index_cache", "fld_" + tag)
 
@@ -540,7 +541,7 @@ def _fielded_index_for(sf_dir: str) -> str:
     build_index(ds, index_dir,
                 fields={"text": "text", "source": "source"},
                 keyword_fields={"lang": "lang"},
-                docvalue_fields={"n_chars": "n_chars"},
+                docvalue_fields={"n_chars": "n_chars", "lang_dv": "lang"},
                 num_buckets=8, salt_shards=4, head_min_df=64,
                 input_tag=tag, batch_size=1024)
     return index_dir
@@ -1192,3 +1193,125 @@ def q_ann_lsh(sf_dir: str) -> pd.DataFrame:
     out = out[["vec_id", "cosine"]].copy()
     out["cosine"] = round_away(out["cosine"], 4)
     return out.reset_index(drop=True)
+
+
+# --- round-3 query surfaces: wildcard/regexp/MLT, sort, collapse, ----------
+# --- function_score, range/filters aggregations ----------------------------
+
+def q_wildcard(sf_dir: str) -> pd.DataFrame:
+    """ES wildcard query: 's?a*' expands against the term dictionary
+    (? = one char, * = any run), expansion scores as OR BM25."""
+    from ..index.query import search_wildcard
+    from ..index.reader import IndexReader
+
+    reader = IndexReader(_index_for(sf_dir))
+    res = search_wildcard(reader, "s?a*", k=200)
+    return _rounded_topk(res, reader)
+
+
+def q_regexp(sf_dir: str) -> pd.DataFrame:
+    """ES regexp query: anchored full-term regex expansion over the
+    dictionary, OR BM25 over the expansion."""
+    from ..index.query import search_regexp
+    from ..index.reader import IndexReader
+
+    reader = IndexReader(_index_for(sf_dir))
+    res = search_regexp(reader, "s[cm]a.*|.*der", k=200)
+    return _rounded_topk(res, reader)
+
+
+def q_more_like_this(sf_dir: str) -> pd.DataFrame:
+    """ES more_like_this with like-text: top max_query_terms terms by
+    tf·idf (tf in the like-text, df from the dictionary) run as OR BM25.
+    Like-text tokens: data×3, row×2, join×1 (mirrored in the oracle)."""
+    from ..index.query import more_like_this
+    from ..index.reader import IndexReader
+
+    reader = IndexReader(_index_for(sf_dir))
+    res = more_like_this(reader, "data data data row row join", k=200,
+                         max_query_terms=2)
+    return _rounded_topk(res, reader)
+
+
+def q_sort_by_field(sf_dir: str) -> pd.DataFrame:
+    """ES sort-by-docvalue (no scoring clause): top-10 docs by n_chars
+    descending. Engine tie-break is internal doc_id; the gate re-ranks the
+    deep-fetched prefix by (n_chars, orig_id) — the only cross-engine-stable
+    order (internal ids are hash-assigned)."""
+    from ..index.fielded import sort_by_field
+    from ..index.reader import IndexReader
+
+    reader = IndexReader(_fielded_index_for(sf_dir))
+    got = sort_by_field(reader, "n_chars", k=2000, descending=True)
+    urls = reader.resolve_urls(got["doc_id"].to_pylist())
+    df = pd.DataFrame({
+        "doc_id": [int(urls[int(d)].removeprefix("doc://"))
+                   for d in got["doc_id"].to_pylist()],
+        "n_chars": got["n_chars"].to_pylist(),
+    })
+    df = df.sort_values(["n_chars", "doc_id"],
+                        ascending=[False, True]).head(10)
+    return df.reset_index(drop=True)
+
+
+def q_collapse(sf_dir: str) -> pd.DataFrame:
+    """ES field collapsing: BM25 match on the text field collapsed on the
+    lang docvalue — best score per lang. The gate reduces to
+    (lang, rounded best score): the winning doc_id inside a group is
+    1-ulp-tie-unstable across engines (tests pin it vs brute force)."""
+    from ..index.fielded import collapse_topk
+    from ..index.reader import IndexReader
+
+    reader = IndexReader(_fielded_index_for(sf_dir))
+    res = collapse_topk(reader, None, "lang_dv", k=10,
+                        matches=[("text", "data spark window")])
+    df = pd.DataFrame({
+        "lang": [key for _, _, key in res],
+        "best_score": round_away([s for _, s, _ in res], 6),
+    })
+    return df.sort_values("lang").reset_index(drop=True)
+
+
+def q_function_score(sf_dir: str) -> pd.DataFrame:
+    """ES function_score field_value_factor: BM25(text match) ×
+    ln(1 + n_chars), missing=1."""
+    from ..index.fielded import function_score
+    from ..index.reader import IndexReader
+
+    reader = IndexReader(_fielded_index_for(sf_dir))
+    res = function_score(reader, None, "n_chars", k=200,
+                         modifier="log1p", factor=1.0, missing=1.0,
+                         boost_mode="multiply",
+                         matches=[("text", "data spark window")])
+    return _fielded_topk(reader, res)
+
+
+def q_range_agg(sf_dir: str) -> pd.DataFrame:
+    """ES range aggregation over the n_chars docvalue: [from, to) buckets,
+    from inclusive, to exclusive, open edges allowed, overlaps counted in
+    every bucket."""
+    from ..index.aggs import range_agg
+    from ..index.reader import IndexReader
+
+    reader = IndexReader(_fielded_index_for(sf_dir))
+    res = range_agg(reader, "n_chars",
+                    [(None, 150.0), (150.0, 300.0), (300.0, None),
+                     (100.0, 400.0)])
+    return pd.DataFrame({"key": [k for k, _ in res],
+                         "doc_count": [int(n) for _, n in res]})
+
+
+def q_filters_agg(sf_dir: str) -> pd.DataFrame:
+    """ES filters aggregation: doc_count per named filter (keyword term via
+    postings df, numeric range via predicate-pushdown docvalues)."""
+    from ..index.aggs import filters_agg
+    from ..index.fielded import KeywordFilter, RangeFilter
+    from ..index.reader import IndexReader
+
+    reader = IndexReader(_fielded_index_for(sf_dir))
+    res = filters_agg(reader, {
+        "en": KeywordFilter("lang", "en"),
+        "mid": RangeFilter("n_chars", lo=100, hi=400),
+    })
+    return pd.DataFrame(
+        {"name": sorted(res), "doc_count": [int(res[n]) for n in sorted(res)]})
