@@ -106,6 +106,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "function_score": dq.q_function_score,
         "range_agg": dq.q_range_agg,
         "filters_agg": dq.q_filters_agg,
+        "phrase_prefix": dq.q_phrase_prefix,
+        "terms_metric_agg": dq.q_terms_metric_agg,
         # rows-only (non-SQL-expressible: sketches / LSH; brute-force
         # oracles for these live in tests/test_dedup_ann.py)
         "minhash_pairs": dq.q_minhash_pairs,
@@ -1180,5 +1182,59 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT count(*) FROM documents
                     WHERE n_chars BETWEEN 100 AND 400)
             ORDER BY name
+        """,
+        # match_phrase_prefix 'data s': doc score = max over s*-expansions e
+        # of BM25 over the completed phrase's UNIQUE terms {data, e}
+        # (IN ('data', e) dedups when e = 'data')
+        "phrase_prefix": f"""
+            WITH tokpos AS (
+                SELECT d.doc_id, u.term, u.pos
+                FROM documents d,
+                LATERAL (
+                    SELECT unnest({tok}) AS term,
+                           generate_subscripts({tok}, 1) AS pos
+                ) u
+            ),
+            tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf
+                   FROM tokpos GROUP BY 1, 2),
+            dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tokpos GROUP BY 1),
+            stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+            cand(term) AS (SELECT DISTINCT term FROM tokpos
+                           WHERE term LIKE 's%' OR term = 'data'),
+            df AS (SELECT tf.term, count(*)::DOUBLE AS df
+                   FROM tf JOIN cand USING (term) GROUP BY tf.term),
+            contrib AS (
+                SELECT tf.doc_id, tf.term,
+                       ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                       * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
+                       AS c
+                FROM tf JOIN df ON tf.term = df.term
+                        JOIN dl ON tf.doc_id = dl.doc_id
+                        CROSS JOIN stats s),
+            matched AS (
+                SELECT DISTINCT p0.doc_id, p1.term AS e
+                FROM tokpos p0 JOIN tokpos p1
+                  ON p0.doc_id = p1.doc_id AND p1.pos = p0.pos + 1
+                WHERE p0.term = 'data' AND p1.term LIKE 's%'
+            ),
+            escore AS (
+                SELECT m.doc_id, m.e,
+                       (SELECT sum(c.c) FROM contrib c
+                        WHERE c.doc_id = m.doc_id
+                          AND c.term IN ('data', m.e)) AS score
+                FROM matched m),
+            best AS (SELECT doc_id, max(score) AS score
+                     FROM escore GROUP BY doc_id)
+            SELECT doc_id, round(score, 6) AS score FROM best
+            ORDER BY round(score, 6) DESC, doc_id LIMIT 10
+        """,
+        "terms_metric_agg": """
+            SELECT lang,
+                   count(*)::BIGINT AS doc_count,
+                   round(sum(n_chars)::DOUBLE, 2) AS sum_val,
+                   round(avg(n_chars)::DOUBLE, 6) AS avg_val,
+                   round(min(n_chars)::DOUBLE, 2) AS min_val,
+                   round(max(n_chars)::DOUBLE, 2) AS max_val
+            FROM documents GROUP BY lang ORDER BY lang
         """,
     }

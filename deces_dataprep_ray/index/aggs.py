@@ -373,3 +373,67 @@ def filters_agg(reader: IndexReader, filters: dict) -> dict[str, int]:
         else:
             out[name] = len(flt.doc_ids(reader))
     return out
+
+
+def terms_metric_agg(reader: IndexReader, key_column: str,
+                     value_column: str) -> list[tuple]:
+    """ES ``terms`` aggregation with metric sub-aggregations: per key
+    bucket, doc_count + sum/avg/min/max of a second docvalue column (the
+    bucket-plus-metric composition every ES dashboard uses).
+
+    Distributed map-side partials over the TWO pruned docvalue columns:
+    each batch folds to one (key, n, sum, min, max) row per key present in
+    the batch, the driver merges the tiny partials (avg = Σ/n at merge, so
+    partial-merge is exact). Docs with a null key are skipped (ES missing
+    bucket is opt-in); null values count the doc but contribute no metric
+    (ES skips missing values per-metric). Returns
+    [(key, doc_count, sum, avg, min, max)] sorted by key."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[key_column]))
+        keys = t[key_column].to_pylist()
+        v = t[value_column].combine_chunks()
+        if pa.types.is_timestamp(v.type) or pa.types.is_date(v.type):
+            v = v.cast(pa.int64())
+        vals = v.cast(pa.float64()).to_numpy(zero_copy_only=False)
+        acc: dict = {}
+        for key, x in zip(keys, vals):
+            st = acc.get(key)
+            if st is None:
+                st = acc[key] = [0, 0.0, np.inf, -np.inf, 0]
+            st[0] += 1
+            if not np.isnan(x):
+                st[1] += x
+                st[2] = min(st[2], x)
+                st[3] = max(st[3], x)
+                st[4] += 1
+        ks = sorted(acc)
+        return pa.table({
+            "key": pa.array(ks, pa.large_string()),
+            "n": pa.array([acc[k][0] for k in ks], pa.int64()),
+            "s": pa.array([acc[k][1] for k in ks], pa.float64()),
+            "mn": pa.array([acc[k][2] for k in ks], pa.float64()),
+            "mx": pa.array([acc[k][3] for k in ks], pa.float64()),
+            "nv": pa.array([acc[k][4] for k in ks], pa.int64()),
+        })
+
+    import ray.data as rd
+
+    parts = rd.read_parquet(
+        _dv_path(reader), columns=[key_column, value_column]).map_batches(
+        partial, batch_format="pyarrow").take_all()
+    acc: dict = {}
+    for row in parts:
+        st = acc.setdefault(row["key"], [0, 0.0, np.inf, -np.inf, 0])
+        st[0] += int(row["n"])
+        st[1] += float(row["s"])
+        st[2] = min(st[2], float(row["mn"]))
+        st[3] = max(st[3], float(row["mx"]))
+        st[4] += int(row["nv"])
+    out = []
+    for key in sorted(acc):
+        n, s, mn, mx, nv = acc[key]
+        out.append((key, n, s, (s / nv) if nv else float("nan"),
+                    mn if nv else float("nan"),
+                    mx if nv else float("nan")))
+    return out

@@ -988,3 +988,40 @@ def more_like_this(reader: IndexReader, like_text: str, k: int = 10,
     if not terms:
         return []
     return search_exact(reader, " ".join(terms), k)
+
+
+def search_phrase_prefix(
+    reader: IndexReader, phrase: str, k: int = 10,
+    max_expansions: int = 50, slop: int = 0,
+    field: str | None = None, filters: list | None = None,
+) -> list[tuple[int, float]]:
+    """ES ``match_phrase_prefix``: a phrase whose LAST token is a prefix.
+    The prefix expands against the term dictionary (ES ``max_expansions``,
+    default 50 like ES); a doc matches iff ANY expansion completes the
+    phrase, and scores as the MAX over matching expansions of that
+    expansion's phrase score (BM25 sum of the completed phrase's unique
+    terms — ``search_phrase``'s frozen scoring), tie-break ascending
+    doc_id.
+
+    Exactness of the per-expansion top-k merge: if doc d is in the global
+    top-k by max-score, then inside d's best expansion every doc ranked
+    above d scores higher there, hence ≥ that globally — so at most k-1
+    docs outrank d in that expansion and d survives its per-expansion
+    top-k. Merging per-expansion top-k lists by max is therefore exact."""
+    toks = tokenize(phrase)
+    if not toks:
+        return []
+    *fixed, last = toks
+    expansions = expand_prefix(reader, last, max_expansions, field=field)
+    best: dict[int, float] = {}
+    for e in expansions:
+        res = search_phrase(reader, " ".join(fixed + [e]), k=k,
+                            slop=slop, field=field, filters=filters)
+        for d, s in res:
+            if s > best.get(d, -math.inf):
+                best[d] = s
+    if not best:
+        return []
+    docs = np.fromiter(best.keys(), np.uint64, len(best))
+    scores = np.fromiter(best.values(), np.float64, len(best))
+    return _topk_from_scores(docs, scores, k)

@@ -77,6 +77,11 @@ class _QueryWorker:
             "more_like_this": lambda r: Q.more_like_this(
                 self.reader, r["query"], r.get("k", 10),
                 max_query_terms=r.get("max_query_terms", 25)),
+            "phrase_prefix": lambda r: Q.search_phrase_prefix(
+                self.reader, r["query"], r.get("k", 10),
+                max_expansions=r.get("max_expansions", 50),
+                slop=r.get("slop", 0), field=r.get("field"),
+                filters=r.get("filters")),
             "fielded": lambda r: F.search_fields(
                 self.reader, r["matches"], r.get("k", 10),
                 filters=r.get("filters"),

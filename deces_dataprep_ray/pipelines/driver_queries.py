@@ -1315,3 +1315,33 @@ def q_filters_agg(sf_dir: str) -> pd.DataFrame:
     })
     return pd.DataFrame(
         {"name": sorted(res), "doc_count": [int(res[n]) for n in sorted(res)]})
+
+
+def q_phrase_prefix(sf_dir: str) -> pd.DataFrame:
+    """ES match_phrase_prefix: 'data s' — last token is a dictionary
+    prefix; doc score = max over expansions of that completed phrase's
+    score (BM25 sum of the completed phrase's unique terms)."""
+    from ..index.query import search_phrase_prefix
+    from ..index.reader import IndexReader
+
+    reader = IndexReader(_positional_index_for(sf_dir))
+    res = search_phrase_prefix(reader, "data s", k=200)
+    return _rounded_topk(res, reader)
+
+
+def q_terms_metric_agg(sf_dir: str) -> pd.DataFrame:
+    """ES terms aggregation with metric sub-aggregations: per-lang bucket
+    doc_count + sum/avg/min/max of n_chars."""
+    from ..index.aggs import terms_metric_agg
+    from ..index.reader import IndexReader
+
+    reader = IndexReader(_fielded_index_for(sf_dir))
+    res = terms_metric_agg(reader, "lang_dv", "n_chars")
+    return pd.DataFrame({
+        "lang": [r[0] for r in res],
+        "doc_count": [int(r[1]) for r in res],
+        "sum_val": round_away([r[2] for r in res], 2),
+        "avg_val": round_away([r[3] for r in res], 6),
+        "min_val": round_away([r[4] for r in res], 2),
+        "max_val": round_away([r[5] for r in res], 2),
+    })

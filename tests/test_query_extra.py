@@ -289,3 +289,67 @@ def test_msearch_mixed_batch(built_index):
         assert isinstance(out[4], dict) and "error" in out[4]
     finally:
         svc.shutdown()
+
+
+def test_terms_metric_agg(dv_corpus, dv_index):
+    from deces_dataprep_ray.index.aggs import terms_metric_agg
+
+    df, _ = dv_corpus
+    r = IndexReader(dv_index)
+    got = terms_metric_agg(r, "grp", "nullable_val")
+    for key, n, s, avg, mn, mx in got:
+        sub = df[df["grp"] == key]["nullable_val"]
+        assert n == len(sub)
+        nn = sub.dropna()
+        np.testing.assert_allclose(s, nn.sum())
+        np.testing.assert_allclose(avg, nn.mean())
+        assert mn == nn.min() and mx == nn.max()
+    assert [g[0] for g in got] == sorted(df["grp"].unique())
+
+
+@pytest.fixture(scope="module")
+def pp_setup(tmp_path_factory):
+    """Positional index with phrase-prefix-friendly vocabulary."""
+    d = tmp_path_factory.mktemp("ppx")
+    rng = np.random.default_rng(3)
+    vocab = ["data", "spark", "sparse", "spill", "scan", "row", "join"]
+    texts = [" ".join(rng.choice(vocab, rng.integers(4, 14)))
+             for _ in range(100)]
+    texts[5] = "data spark row"
+    texts[8] = "data sparse join"
+    texts[13] = "data spill data spark"
+    df = pd.DataFrame({"url": [f"doc://{i}" for i in range(100)],
+                       "text": texts})
+    src = str(d / "src.parquet")
+    df.to_parquet(src)
+    idx = str(d / "idx")
+    build_index(src, idx, num_buckets=4, salt_shards=2, head_min_df=1000,
+                store_positions=True, batch_size=32)
+    return df, idx
+
+
+def test_search_phrase_prefix(pp_setup):
+    from deces_dataprep_ray.functions.analysis import tokenize
+    from deces_dataprep_ray.index.query import (
+        search_phrase,
+        search_phrase_prefix,
+    )
+
+    df, idx = pp_setup
+    r = IndexReader(idx)
+    # brute force: max over expansions of the per-expansion phrase score
+    exps = sorted({t for dt in (tokenize(x) for x in df["text"])
+                   for t in dt if t.startswith("sp")})
+    assert len(exps) >= 3
+    best: dict[int, float] = {}
+    for e in exps:
+        for d, s in search_phrase(r, f"data {e}", k=100):
+            if s > best.get(d, -1e18):
+                best[d] = s
+    want = sorted(best.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = search_phrase_prefix(r, "data sp", k=10)
+    assert got == want
+    # ES-style: the bare prefix alone is a one-token phrase-prefix
+    lone = search_phrase_prefix(r, "sp", k=5)
+    assert lone  # matches docs holding any sp* token
+    assert search_phrase_prefix(r, "data zzz", k=5) == []
