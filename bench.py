@@ -155,7 +155,40 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool) -> dict:
         svc.search_batch(qs, 10)
         dt = time.time() - t
         queries["service_qps_8workers"] = round(len(qs) / dt, 1)
+        # heterogeneous msearch batch (mixed match/wildcard/fuzzy/MLT)
+        mreqs = [
+            {"type": "match", "query": q} if i % 4 == 0 else
+            {"type": "wildcard", "query": q.split()[0][:4] + "*"}
+            if i % 4 == 1 else
+            {"type": "fuzzy", "query": q.split()[0]} if i % 4 == 2 else
+            {"type": "more_like_this", "query": q, "max_query_terms": 3}
+            for i, q in enumerate(BENCH_QUERIES * 5)
+        ]
+        svc.msearch(mreqs[:8])  # warm dictionary caches
+        t = time.time()
+        svc.msearch(mreqs)
+        queries["msearch_qps_8workers"] = round(
+            len(mreqs) / (time.time() - t), 1)
         svc.shutdown()
+
+        # dictionary-expansion + docvalue-serving latencies (warm)
+        from deces_dataprep_ray.index.query import (
+            more_like_this,
+            search_wildcard,
+        )
+
+        search_wildcard(reader, "term12*", 10)  # warm + dictionary load
+        # typical selectivity (tens of expansions); "term1*" would be a
+        # ~1.1k-term OR on this vocabulary — that cost is expansion
+        # scoring, not dictionary lookup, and scales with max_expansions
+        t = time.time()
+        for pat in ("term12*", "term?3", "term55*"):
+            search_wildcard(reader, pat, 10)
+        queries["query_wildcard_p50"] = round((time.time() - t) / 3, 4)
+        t = time.time()
+        more_like_this(reader, " ".join(BENCH_QUERIES[:3]), 10,
+                       max_query_terms=5)
+        queries["query_mlt"] = round(time.time() - t, 4)
 
         t = time.time()
         out_dir = f"/tmp/dcray_bench/extract_{n_docs}"
@@ -205,6 +238,25 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool) -> dict:
             lat_f.append(time.time() - t)
         queries["query_fielded_filtered_p50"] = round(
             statistics.median(lat_f), 4)
+
+        # docvalue serving over the fielded index: distributed sort top-k,
+        # collapse, terms+metrics aggregation (one wall each, warm index)
+        from deces_dataprep_ray.index.aggs import terms_metric_agg
+        from deces_dataprep_ray.index.fielded import (
+            collapse_topk,
+            sort_by_field,
+        )
+
+        t = time.time()
+        sort_by_field(fr, "n_chars", k=10, descending=True)
+        queries["sort_by_field"] = round(time.time() - t, 3)
+        t = time.time()
+        collapse_topk(fr, None, "lang_dv", k=10,
+                      matches=[("text", "data spark window")])
+        queries["collapse"] = round(time.time() - t, 3)
+        t = time.time()
+        terms_metric_agg(fr, "lang_dv", "n_chars")
+        queries["terms_metric_agg"] = round(time.time() - t, 3)
 
         # persisted ANN index: one query reads only probe-bucket row groups
         t = time.time()
