@@ -362,6 +362,11 @@ def run_scaling(sf_dir: str) -> dict:
     env_base = dict(os.environ, GRAFT_SF_DIR=sf_dir, BENCH_HEADLINE_ONLY="1",
                     BENCH_BUILD_RUNS="1")
     n_samples = int(os.environ.get("SCALING_SAMPLES", "5"))
+    # SCALING_LEVELS="2,8" measures the same 4x factor BELOW the SMT /
+    # memory-controller saturation knee — separates engine scaling from
+    # single-box hardware saturation (default 8,32 matches the rule's N,4N)
+    lo_n, hi_n = (int(x) for x in
+                  os.environ.get("SCALING_LEVELS", "8,32").split(","))
 
     def one(ncpu: int) -> dict:
         env = dict(env_base, RAY_GRAFT_CPUS=str(ncpu))
@@ -380,10 +385,10 @@ def run_scaling(sf_dir: str) -> dict:
     # up-front ratio misrepresents later samples; the median ratio is used
     # for the vs-hw figure and the per-sample ratios are reported raw
     hw_ratios: list[float] = []
-    samples: dict[int, list[dict]] = {8: [], 32: []}
+    samples: dict[int, list[dict]] = {lo_n: [], hi_n: []}
     for _ in range(n_samples):
-        hw_ratios.append(_hw_capacity_ratio(8, 32))
-        for ncpu in (8, 32):  # interleave legs
+        hw_ratios.append(_hw_capacity_ratio(lo_n, hi_n))
+        for ncpu in (lo_n, hi_n):  # interleave legs
             samples[ncpu].append(one(ncpu))
     hw_ratio = statistics.median(hw_ratios)
 
@@ -416,10 +421,10 @@ def run_scaling(sf_dir: str) -> dict:
             "phase_seconds_median": phases,
         }
 
-    lo, hi = leg(8), leg(32)
-    docs = samples[8][0]["docs"]
+    lo, hi = leg(lo_n), leg(hi_n)
+    docs = samples[lo_n][0]["docs"]
     speedup = lo["median_wall"] / hi["median_wall"]
-    eff = speedup / (32 / 8)
+    eff = speedup / (hi_n / lo_n)
     clean_speedup = lo["clean_median_wall"] / hi["clean_median_wall"]
     floor_speedup = lo["floor_wall"] / hi["floor_wall"]
     return {
@@ -427,17 +432,18 @@ def run_scaling(sf_dir: str) -> dict:
         "value": round(eff, 3),
         "unit": "ratio",
         "efficiency_vs_hw_capacity": round(speedup / hw_ratio, 3),
-        "clean_efficiency": round(clean_speedup / (32 / 8), 3),
+        "clean_efficiency": round(clean_speedup / (hi_n / lo_n), 3),
         "clean_efficiency_vs_hw_capacity": round(clean_speedup / hw_ratio, 3),
-        "floor_efficiency": round(floor_speedup / (32 / 8), 3),
+        "floor_efficiency": round(floor_speedup / (hi_n / lo_n), 3),
         "floor_efficiency_vs_hw_capacity": round(floor_speedup / hw_ratio, 3),
         "hw_capacity_ratio_8_to_32": round(hw_ratio, 3),
+        "levels": [lo_n, hi_n],
         "hw_capacity_ratios_per_sample": [round(r, 3) for r in hw_ratios],
         "samples_per_leg": n_samples,
         "leg_8cpu": lo,
         "leg_32cpu": hi,
         "docs": docs,
-        "sf": samples[8][0]["sf"],
+        "sf": samples[lo_n][0]["sf"],
         "docs_per_sec_8cpu": lo["median_docs_per_sec"],
         "docs_per_sec_32cpu": hi["median_docs_per_sec"],
         "queries": {"build_8cpu": lo["median_wall"],
