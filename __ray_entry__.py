@@ -108,6 +108,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filters_agg": dq.q_filters_agg,
         "phrase_prefix": dq.q_phrase_prefix,
         "terms_metric_agg": dq.q_terms_metric_agg,
+        "suggest": dq.q_suggest,
+        "composite_agg": dq.q_composite_agg,
+        "terms_terms_agg": dq.q_terms_terms_agg,
         # rows-only (non-SQL-expressible: sketches / LSH; brute-force
         # oracles for these live in tests/test_dedup_ann.py)
         "minhash_pairs": dq.q_minhash_pairs,
@@ -1236,5 +1239,30 @@ def oracle_sql() -> dict[str, str]:
                    round(min(n_chars)::DOUBLE, 2) AS min_val,
                    round(max(n_chars)::DOUBLE, 2) AS max_val
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        # term suggester for the misspelling 'spak': corrections within 2
+        # edits ranked (distance, df desc, term), input term itself excluded
+        "suggest": f"""
+            WITH tok AS (
+                SELECT doc_id, unnest({tok}) AS term FROM documents
+            ),
+            df AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+                   FROM tok GROUP BY term),
+            cand AS (SELECT term, levenshtein(term, 'spak')::BIGINT AS dist,
+                            df
+                     FROM df
+                     WHERE term != 'spak'
+                       AND levenshtein(term, 'spak') <= 2)
+            SELECT term, dist, df FROM cand
+            ORDER BY dist, df DESC, term LIMIT 5
+        """,
+        "composite_agg": """
+            SELECT lang, count(*)::BIGINT AS doc_count FROM documents
+            WHERE lang > 'de' GROUP BY lang ORDER BY lang LIMIT 3
+        """,
+        "terms_terms_agg": """
+            SELECT lang, source, count(*)::BIGINT AS doc_count
+            FROM documents WHERE source IS NOT NULL
+            GROUP BY lang, source ORDER BY lang, source
         """,
     }

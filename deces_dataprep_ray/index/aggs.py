@@ -390,31 +390,27 @@ def terms_metric_agg(reader: IndexReader, key_column: str,
     [(key, doc_count, sum, avg, min, max)] sorted by key."""
 
     def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
         t = t.filter(pc.is_valid(t[key_column]))
-        keys = t[key_column].to_pylist()
         v = t[value_column].combine_chunks()
         if pa.types.is_timestamp(v.type) or pa.types.is_date(v.type):
             v = v.cast(pa.int64())
         vals = v.cast(pa.float64()).to_numpy(zero_copy_only=False)
-        acc: dict = {}
-        for key, x in zip(keys, vals):
-            st = acc.get(key)
-            if st is None:
-                st = acc[key] = [0, 0.0, np.inf, -np.inf, 0]
-            st[0] += 1
-            if not np.isnan(x):
-                st[1] += x
-                st[2] = min(st[2], x)
-                st[3] = max(st[3], x)
-                st[4] += 1
-        ks = sorted(acc)
+        pdf = pd.DataFrame({"k": t[key_column].to_pandas(), "v": vals})
+        # vectorized C groupby: size counts all docs in the bucket,
+        # sum/min/max/count skip NaN (ES per-metric missing semantics)
+        g = pdf.groupby("k", sort=True)["v"].agg(
+            n="size", s="sum", mn="min", mx="max", nv="count")
         return pa.table({
-            "key": pa.array(ks, pa.large_string()),
-            "n": pa.array([acc[k][0] for k in ks], pa.int64()),
-            "s": pa.array([acc[k][1] for k in ks], pa.float64()),
-            "mn": pa.array([acc[k][2] for k in ks], pa.float64()),
-            "mx": pa.array([acc[k][3] for k in ks], pa.float64()),
-            "nv": pa.array([acc[k][4] for k in ks], pa.int64()),
+            "key": pa.array(g.index.astype(str), pa.large_string()),
+            "n": pa.array(g["n"].to_numpy(np.int64)),
+            "s": pa.array(np.nan_to_num(g["s"].to_numpy(float))),
+            "mn": pa.array(np.nan_to_num(g["mn"].to_numpy(float),
+                                         nan=np.inf)),
+            "mx": pa.array(np.nan_to_num(g["mx"].to_numpy(float),
+                                         nan=-np.inf)),
+            "nv": pa.array(g["nv"].to_numpy(np.int64)),
         })
 
     import ray.data as rd
@@ -437,3 +433,75 @@ def terms_metric_agg(reader: IndexReader, key_column: str,
                     mn if nv else float("nan"),
                     mx if nv else float("nan")))
     return out
+
+
+def composite_agg(reader: IndexReader, key_column: str, size: int = 10,
+                  after: str | None = None) -> tuple[list[tuple[str, int]],
+                                                     str | None]:
+    """ES ``composite`` aggregation over one keyword docvalue source:
+    buckets in ascending key order, paginated with an ``after_key`` cursor
+    — the scalable way to enumerate ALL buckets (a ``terms`` agg top-N
+    cannot page). Returns (buckets, after_key): ``buckets`` is up to
+    ``size`` (key, doc_count) pairs strictly after ``after``; ``after_key``
+    is the last key returned (None when exhausted — pass it back to get
+    the next page).
+
+    Distributed shape: per-batch (key, count) value-count partials over the
+    one pruned column, filtered to key > after AT THE MAP SIDE so a deep
+    page never ships earlier buckets; the driver merges and truncates. At
+    10^12 docs the partial row count is bounded by (distinct keys after
+    cursor) × batches — for high-cardinality sources the map-side cursor
+    filter is what keeps pages O(page), not O(all buckets)."""
+    from collections import Counter as _Counter
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t[key_column].drop_null().combine_chunks()
+        col = col.cast(pa.large_string())
+        if after is not None:
+            col = col.filter(pc.greater(col, pa.scalar(after)))
+        vc = pc.value_counts(col)
+        return pa.table({"key": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    parts = _read_dv(reader, key_column).map_batches(
+        partial, batch_format="pyarrow").take_all()
+    acc: _Counter = _Counter()
+    for row in parts:
+        acc[row["key"]] += int(row["n"])
+    buckets = sorted(acc.items())[:size]
+    exhausted = len(buckets) == len(acc)
+    return buckets, (buckets[-1][0] if buckets and not exhausted else None)
+
+
+def terms_terms_agg(reader: IndexReader, outer_column: str,
+                    inner_column: str) -> list[tuple[str, str, int]]:
+    """Two-level bucket composition — ES ``terms`` agg with a nested
+    ``terms`` sub-aggregation (the lang × source dashboard breakdown).
+    Per-batch (outer, inner, count) partials over the two pruned docvalue
+    columns, driver merge; docs with a null key at either level are
+    skipped. Returns [(outer, inner, doc_count)] sorted."""
+    from collections import Counter as _Counter
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t[outer_column]),
+                             pc.is_valid(t[inner_column])))
+        import pandas as pd
+
+        pdf = pd.DataFrame({
+            "o": t[outer_column].to_pandas().astype(str),
+            "i": t[inner_column].to_pandas().astype(str),
+        })
+        g = pdf.groupby(["o", "i"], sort=True).size().reset_index(name="n")
+        return pa.table({"o": pa.array(g["o"], pa.large_string()),
+                         "i": pa.array(g["i"], pa.large_string()),
+                         "n": pa.array(g["n"].to_numpy(np.int64))})
+
+    import ray.data as rd
+
+    parts = rd.read_parquet(
+        _dv_path(reader), columns=[outer_column, inner_column]).map_batches(
+        partial, batch_format="pyarrow").take_all()
+    acc: _Counter = _Counter()
+    for row in parts:
+        acc[(row["o"], row["i"])] += int(row["n"])
+    return [(o, i, n) for (o, i), n in sorted(acc.items())]

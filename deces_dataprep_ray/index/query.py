@@ -1048,3 +1048,29 @@ def search_phrase_prefix(
     docs = np.fromiter(best.keys(), np.uint64, len(best))
     scores = np.fromiter(best.values(), np.float64, len(best))
     return _topk_from_scores(docs, scores, k)
+
+
+def suggest_terms(reader: IndexReader, term: str, n: int = 5,
+                  max_dist: int = 2,
+                  field: str | None = None) -> list[tuple[str, int, int]]:
+    """ES term suggester ("did you mean"): dictionary terms within
+    ``max_dist`` Levenshtein edits of the (possibly misspelled) input,
+    ranked the way ES's suggest mode=missing does — ascending edit
+    distance, then descending df (popular spellings first), then ascending
+    term. The input term itself is excluded (a suggester corrects, it does
+    not echo). Returns [(term, dist, df)] — the same |len|-band +
+    vectorized edit-distance pass the fuzzy query uses, over the reader's
+    cached dictionary."""
+    cache = _vocab_cache(reader, field)
+    if cache is None:
+        return []
+    terms, lens, dfs = cache["terms"], cache["lens"], cache["dfs"]
+    band = np.flatnonzero(np.abs(lens - len(term)) <= max_dist)
+    if not len(band):
+        return []
+    cands = [terms[i] for i in band]
+    dist = _levenshtein_batch(term, cands)
+    hit = np.flatnonzero((dist <= max_dist) & (dist > 0))
+    out = [(cands[i], int(dist[i]), int(dfs[band[i]])) for i in hit]
+    out.sort(key=lambda x: (x[1], -x[2], x[0]))
+    return out[:n]

@@ -82,6 +82,9 @@ class _QueryWorker:
                 max_expansions=r.get("max_expansions", 50),
                 slop=r.get("slop", 0), field=r.get("field"),
                 filters=r.get("filters")),
+            "suggest": lambda r: Q.suggest_terms(
+                self.reader, r["query"], r.get("n", 5),
+                max_dist=r.get("max_dist", 2), field=r.get("field")),
             "fielded": lambda r: F.search_fields(
                 self.reader, r["matches"], r.get("k", 10),
                 filters=r.get("filters"),

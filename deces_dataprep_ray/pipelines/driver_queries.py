@@ -520,13 +520,14 @@ def q_bm25_prefix(sf_dir: str) -> pd.DataFrame:
 
 def _fielded_index_for(sf_dir: str) -> str:
     """Fielded index over ``documents``: analyzed fields text+source, keyword
-    field lang, docvalues n_chars + lang (the reference's per-field mapping
-    shape; lang doubles as the collapse key)."""
+    field lang, docvalues n_chars + lang + source (the reference's per-field
+    mapping shape; lang doubles as the collapse key, lang × source as the
+    nested-buckets pair)."""
     from ..index.build import build_index
 
     doc_path = os.path.join(sf_dir, "documents.parquet")
     tag = hashlib.sha256(
-        f"fielded2:{doc_path}:{os.path.getsize(doc_path)}".encode()
+        f"fielded3:{doc_path}:{os.path.getsize(doc_path)}".encode()
     ).hexdigest()[:12]
     index_dir = os.path.join("/tmp", "dcray_index_cache", "fld_" + tag)
 
@@ -541,7 +542,8 @@ def _fielded_index_for(sf_dir: str) -> str:
     build_index(ds, index_dir,
                 fields={"text": "text", "source": "source"},
                 keyword_fields={"lang": "lang"},
-                docvalue_fields={"n_chars": "n_chars", "lang_dv": "lang"},
+                docvalue_fields={"n_chars": "n_chars", "lang_dv": "lang",
+                                 "source_dv": "source"},
                 num_buckets=8, salt_shards=4, head_min_df=64,
                 input_tag=tag, batch_size=1024)
     return index_dir
@@ -1345,3 +1347,40 @@ def q_terms_metric_agg(sf_dir: str) -> pd.DataFrame:
         "min_val": round_away([r[4] for r in res], 2),
         "max_val": round_away([r[5] for r in res], 2),
     })
+
+
+def q_suggest(sf_dir: str) -> pd.DataFrame:
+    """ES term suggester: corrections for the misspelling 'spak' within 2
+    edits, ranked (distance asc, df desc, term asc), top 5."""
+    from ..index.query import suggest_terms
+    from ..index.reader import IndexReader
+
+    reader = IndexReader(_index_for(sf_dir))
+    res = suggest_terms(reader, "spak", n=5, max_dist=2)
+    return pd.DataFrame({"term": [t for t, _, _ in res],
+                         "dist": [int(d) for _, d, _ in res],
+                         "df": [int(f) for _, _, f in res]})
+
+
+def q_composite_agg(sf_dir: str) -> pd.DataFrame:
+    """ES composite aggregation: the lang buckets page strictly after the
+    cursor 'de', ascending keys, size 3 — paginated bucket enumeration."""
+    from ..index.aggs import composite_agg
+    from ..index.reader import IndexReader
+
+    reader = IndexReader(_fielded_index_for(sf_dir))
+    buckets, _after = composite_agg(reader, "lang_dv", size=3, after="de")
+    return pd.DataFrame({"lang": [k for k, _ in buckets],
+                         "doc_count": [int(n) for _, n in buckets]})
+
+
+def q_terms_terms_agg(sf_dir: str) -> pd.DataFrame:
+    """ES nested terms aggregation: lang buckets × source sub-buckets."""
+    from ..index.aggs import terms_terms_agg
+    from ..index.reader import IndexReader
+
+    reader = IndexReader(_fielded_index_for(sf_dir))
+    res = terms_terms_agg(reader, "lang_dv", "source_dv")
+    return pd.DataFrame({"lang": [o for o, _, _ in res],
+                         "source": [i for _, i, _ in res],
+                         "doc_count": [int(n) for _, _, n in res]})

@@ -116,6 +116,7 @@ def dv_corpus(tmp_path_factory):
         "body": [" ".join(rng.choice(vocab, rng.integers(3, 12)))
                  for _ in range(n)],
         "grp": [f"g{i % 7}" for i in range(n)],
+        "band": [f"b{i % 3}" for i in range(n)],
         "rank_val": rng.permutation(n).astype("int64"),
         "nullable_val": [None if i % 4 == 0 else float(i % 13)
                          for i in range(n)],
@@ -130,7 +131,8 @@ def dv_index(dv_corpus, tmp_path_factory):
     df, src = dv_corpus
     idx = str(tmp_path_factory.mktemp("dvidx") / "index")
     build_index(src, idx, url_col="url", text_col="body",
-                docvalue_fields={"grp": "grp", "rank_val": "rank_val",
+                docvalue_fields={"grp": "grp", "band": "band",
+                                 "rank_val": "rank_val",
                                  "nullable_val": "nullable_val"},
                 num_buckets=4, salt_shards=2, head_min_df=1000,
                 batch_size=16)
@@ -353,3 +355,58 @@ def test_search_phrase_prefix(pp_setup):
     lone = search_phrase_prefix(r, "sp", k=5)
     assert lone  # matches docs holding any sp* token
     assert search_phrase_prefix(r, "data zzz", k=5) == []
+
+
+def test_suggest_terms(built_index, brute_force):
+    from deces_dataprep_ray.index.query import suggest_terms
+
+    idx, _ = built_index
+    inv, _ = brute_force
+    r = IndexReader(idx)
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                         prev + (ca != cb))
+        return dp[-1]
+
+    for bad, md in (("istanbux", 1), ("trm1", 2), ("koln", 1)):
+        want = sorted(
+            ((lev(bad, t), -len(inv[t]), t) for t in inv
+             if t != bad and lev(bad, t) <= md),
+        )[:5]
+        got = suggest_terms(r, bad, n=5, max_dist=md)
+        assert got == [(t, d, -negdf) for d, negdf, t in want], bad
+    assert suggest_terms(r, "zzzzzzzzzz", n=5, max_dist=1) == []
+
+
+def test_composite_agg_pagination(dv_corpus, dv_index):
+    from deces_dataprep_ray.index.aggs import composite_agg
+
+    df, _ = dv_corpus
+    r = IndexReader(dv_index)
+    truth = sorted(df.groupby("grp").size().items())
+    pages, after = [], None
+    while True:
+        buckets, after = composite_agg(r, "grp", size=3, after=after)
+        pages.extend(buckets)
+        if after is None:
+            break
+    assert pages == [(k, int(n)) for k, n in truth]
+    # a mid-stream cursor never re-ships earlier buckets
+    b2, _ = composite_agg(r, "grp", size=2, after=truth[1][0])
+    assert b2 == [(k, int(n)) for k, n in truth[2:4]]
+
+
+def test_terms_terms_agg(dv_corpus, dv_index):
+    from deces_dataprep_ray.index.aggs import terms_terms_agg
+
+    df, _ = dv_corpus
+    r = IndexReader(dv_index)
+    got = terms_terms_agg(r, "grp", "band")
+    truth = sorted((o, i, int(n)) for (o, i), n in
+                   df.groupby(["grp", "band"]).size().items())
+    assert got == truth
