@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suggest": dq.q_suggest,
         "composite_agg": dq.q_composite_agg,
         "terms_terms_agg": dq.q_terms_terms_agg,
+        "rescore": dq.q_rescore,
         # rows-only (non-SQL-expressible: sketches / LSH; brute-force
         # oracles for these live in tests/test_dedup_ann.py)
         "minhash_pairs": dq.q_minhash_pairs,
@@ -1264,5 +1265,50 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, source, count(*)::BIGINT AS doc_count
             FROM documents WHERE source IS NOT NULL
             GROUP BY lang, source ORDER BY lang, source
+        """,
+        # rescore: BM25('data row') + 2 × phrase-BM25('data spark') for docs
+        # where the phrase occurs adjacently (phrase score = BM25 of the
+        # phrase's unique terms, the engine's frozen phrase scoring)
+        "rescore": f"""
+            WITH tokpos AS (
+                SELECT d.doc_id, u.term, u.pos
+                FROM documents d,
+                LATERAL (
+                    SELECT unnest({tok}) AS term,
+                           generate_subscripts({tok}, 1) AS pos
+                ) u
+            ),
+            tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf
+                   FROM tokpos GROUP BY 1, 2),
+            dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tokpos GROUP BY 1),
+            stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+            cand(term) AS (VALUES ('data'), ('row'), ('spark')),
+            df AS (SELECT tf.term, count(*)::DOUBLE AS df
+                   FROM tf JOIN cand USING (term) GROUP BY tf.term),
+            contrib AS (
+                SELECT tf.doc_id, tf.term,
+                       ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                       * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
+                       AS c
+                FROM tf JOIN df ON tf.term = df.term
+                        JOIN dl ON tf.doc_id = dl.doc_id
+                        CROSS JOIN stats s),
+            base AS (SELECT doc_id, sum(c) AS score FROM contrib
+                     WHERE term IN ('data', 'row') GROUP BY doc_id),
+            phrase_docs AS (
+                SELECT DISTINCT p0.doc_id
+                FROM tokpos p0 JOIN tokpos p1
+                  ON p0.doc_id = p1.doc_id AND p1.pos = p0.pos + 1
+                WHERE p0.term = 'data' AND p1.term = 'spark'
+            ),
+            pscore AS (SELECT c.doc_id, sum(c.c) AS score
+                       FROM contrib c JOIN phrase_docs p USING (doc_id)
+                       WHERE c.term IN ('data', 'spark') GROUP BY c.doc_id),
+            final AS (
+                SELECT b.doc_id,
+                       b.score + 2.0 * COALESCE(p.score, 0) AS score
+                FROM base b LEFT JOIN pscore p USING (doc_id))
+            SELECT doc_id, round(score, 6) AS score FROM final
+            ORDER BY round(score, 6) DESC, doc_id LIMIT 10
         """,
     }

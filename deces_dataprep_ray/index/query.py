@@ -1074,3 +1074,77 @@ def suggest_terms(reader: IndexReader, term: str, n: int = 5,
     out = [(cands[i], int(dist[i]), int(dfs[band[i]])) for i in hit]
     out.sort(key=lambda x: (x[1], -x[2], x[0]))
     return out[:n]
+
+
+def explain(reader: IndexReader, query: str, doc_id: int) -> dict:
+    """ES ``_explain`` analogue: the per-term BM25 breakdown of one doc's
+    score for a query. Returns {"doc_id", "score", "matched": bool,
+    "terms": [{term, tf, dl, df, idf, weight, contribution}]} — each
+    contribution = idf · tf/(tf + k1·(1−b+b·dl/avgdl)), summing exactly to
+    what every scorer here returns (identity asserted in tests). Costs one
+    postings read + one searchsorted per query term — no corpus access."""
+    did = np.uint64(doc_id)
+    parts = []
+    total = 0.0
+    for t in analyze_query(query):
+        docs, tfs, dls = reader.postings(t)
+        if not len(docs):
+            continue
+        pos = int(np.searchsorted(docs, did))
+        if pos >= len(docs) or docs[pos] != did:
+            continue
+        tf = float(tfs[pos])
+        dl = float(dls[pos])
+        w = float(bm25_weight(tfs[pos:pos + 1], dls[pos:pos + 1],
+                              reader.avgdl, reader.k1, reader.b)[0])
+        i = idf(reader.n_docs, len(docs))
+        contribution = i * w
+        total += contribution
+        parts.append({"term": t, "tf": tf, "dl": dl, "df": len(docs),
+                      "idf": i, "weight": w, "contribution": contribution})
+    return {"doc_id": int(doc_id), "score": total,
+            "matched": bool(parts), "terms": parts}
+
+
+def rescore(reader: IndexReader, query: str, rescore_phrase: str,
+            k: int = 10, window_size: int = 100,
+            query_weight: float = 1.0, rescore_weight: float = 1.0,
+            slop: int = 0) -> list[tuple[int, float]]:
+    """ES ``rescore`` with a ``match_phrase`` rescorer: fetch the top
+    ``window_size`` docs by the cheap BM25 query, then re-rank ONLY that
+    window by query_weight·bm25 + rescore_weight·phrase_score where the
+    phrase score is ``search_phrase``'s BM25-of-unique-phrase-terms for
+    window docs that contain the phrase, else 0 (ES total-score rescoring
+    over the window; hits outside the window keep their original ranks —
+    and here, outside-window docs simply aren't returned, k ≤ window).
+
+    The phrase pass is fetch-bounded: only window members are checked
+    (the intersection of phrase-term postings is masked to the window
+    before the position DP), so rescoring costs O(window), never a second
+    corpus-scale query — exactly why ES exposes rescore instead of phrase-
+    scoring everything."""
+    base = search_exact(reader, query, max(k, window_size))
+    if not base:
+        return []
+    window_ids = np.sort(np.array([d for d, _ in base], np.uint64))
+    phrase_hits = dict(search_phrase(
+        reader, rescore_phrase, k=len(window_ids), slop=slop,
+        filters=[_WindowFilter(window_ids)]))
+    rescored = [
+        (d, query_weight * s + rescore_weight * phrase_hits.get(d, 0.0))
+        for d, s in base
+    ]
+    docs = np.fromiter((d for d, _ in rescored), np.uint64, len(rescored))
+    scores = np.fromiter((s for _, s in rescored), np.float64, len(rescored))
+    return _topk_from_scores(docs, scores, k)
+
+
+class _WindowFilter:
+    """Internal allow-list filter: restricts a query to a sorted doc_id
+    window (quacks like the fielded filter objects)."""
+
+    def __init__(self, doc_ids: np.ndarray):
+        self._ids = doc_ids
+
+    def doc_ids(self, reader) -> np.ndarray:
+        return self._ids

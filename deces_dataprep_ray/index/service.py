@@ -85,6 +85,14 @@ class _QueryWorker:
             "suggest": lambda r: Q.suggest_terms(
                 self.reader, r["query"], r.get("n", 5),
                 max_dist=r.get("max_dist", 2), field=r.get("field")),
+            "rescore": lambda r: Q.rescore(
+                self.reader, r["query"], r["rescore_phrase"],
+                r.get("k", 10), window_size=r.get("window_size", 100),
+                query_weight=r.get("query_weight", 1.0),
+                rescore_weight=r.get("rescore_weight", 1.0),
+                slop=r.get("slop", 0)),
+            "explain": lambda r: Q.explain(
+                self.reader, r["query"], r["doc_id"]),
             "fielded": lambda r: F.search_fields(
                 self.reader, r["matches"], r.get("k", 10),
                 filters=r.get("filters"),

@@ -1384,3 +1384,16 @@ def q_terms_terms_agg(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"lang": [o for o, _, _ in res],
                          "source": [i for _, i, _ in res],
                          "doc_count": [int(n) for _, _, n in res]})
+
+
+def q_rescore(sf_dir: str) -> pd.DataFrame:
+    """ES rescore: BM25('data row') re-ranked by +2× match_phrase
+    'data spark' score. Window covers the whole sf0.01 match set so the
+    SQL oracle is exact; the O(window) bounding is pytest-verified."""
+    from ..index.query import rescore
+    from ..index.reader import IndexReader
+
+    reader = IndexReader(_positional_index_for(sf_dir))
+    res = rescore(reader, "data row", "data spark", k=200,
+                  window_size=100_000, rescore_weight=2.0)
+    return _rounded_topk(res, reader)

@@ -410,3 +410,44 @@ def test_terms_terms_agg(dv_corpus, dv_index):
     truth = sorted((o, i, int(n)) for (o, i), n in
                    df.groupby(["grp", "band"]).size().items())
     assert got == truth
+
+
+def test_explain_matches_scorer(built_index):
+    from deces_dataprep_ray.index.query import explain, search_exact
+
+    idx, _ = built_index
+    r = IndexReader(idx)
+    res = search_exact(r, "term1 term2 istanbul", k=5)
+    assert res
+    for d, s in res:
+        ex = explain(r, "term1 term2 istanbul", d)
+        assert ex["matched"]
+        np.testing.assert_allclose(ex["score"], s, rtol=1e-12)
+        np.testing.assert_allclose(
+            sum(t["contribution"] for t in ex["terms"]), s, rtol=1e-12)
+    miss = explain(r, "zzznope", 12345)
+    assert not miss["matched"] and miss["score"] == 0.0
+
+
+def test_rescore_phrase_window(pp_setup):
+    from deces_dataprep_ray.index.query import (
+        rescore,
+        search_exact,
+        search_phrase,
+    )
+
+    df, idx = pp_setup
+    r = IndexReader(idx)
+    w = 50
+    base = search_exact(r, "data spark", k=w)
+    phrase = dict(search_phrase(r, "data spark", k=10**6))
+    want = sorted(
+        ((d, s + 2.0 * phrase.get(d, 0.0)) for d, s in base),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:10]
+    got = rescore(r, "data spark", "data spark", k=10, window_size=w,
+                  rescore_weight=2.0)
+    assert [(d, round(s, 9)) for d, s in got] == \
+        [(d, round(s, 9)) for d, s in want]
+    # phrase docs outrank equal-BM25 non-phrase docs after rescoring
+    assert any(d in phrase for d, _ in got)
