@@ -70,9 +70,11 @@ class _QueryWorker:
                 max_dist=r.get("max_dist", 1)),
             "wildcard": lambda r: Q.search_wildcard(
                 self.reader, r["query"], r.get("k", 10),
+                max_expansions=r.get("max_expansions", 1024),
                 field=r.get("field")),
             "regexp": lambda r: Q.search_regexp(
                 self.reader, r["query"], r.get("k", 10),
+                max_expansions=r.get("max_expansions", 1024),
                 field=r.get("field")),
             "more_like_this": lambda r: Q.more_like_this(
                 self.reader, r["query"], r.get("k", 10),
