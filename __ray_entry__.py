@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "composite_agg": dq.q_composite_agg,
         "terms_terms_agg": dq.q_terms_terms_agg,
         "rescore": dq.q_rescore,
+        "bm25_tombstoned": dq.q_bm25_tombstoned,
         # rows-only (non-SQL-expressible: sketches / LSH; brute-force
         # oracles for these live in tests/test_dedup_ann.py)
         "minhash_pairs": dq.q_minhash_pairs,
@@ -1309,6 +1310,33 @@ def oracle_sql() -> dict[str, str]:
                        b.score + 2.0 * COALESCE(p.score, 0) AS score
                 FROM base b LEFT JOIN pscore p USING (doc_id))
             SELECT doc_id, round(score, 6) AS score FROM final
+            ORDER BY round(score, 6) DESC, doc_id LIMIT 10
+        """,
+        # tombstoned + compacted: BM25 over the SURVIVING corpus only
+        # (docs with doc_id % 7 == 0 deleted; stats recomputed on survivors)
+        "bm25_tombstoned": f"""
+            WITH live AS (
+                SELECT doc_id, text FROM documents WHERE doc_id % 7 != 0
+            ),
+            tok AS (
+                SELECT doc_id, unnest({tok}) AS term FROM live
+            ),
+            tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+            dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+            stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+            qterms(term) AS (VALUES ('data'), ('spark'), ('window')),
+            df AS (SELECT tf.term, count(*)::DOUBLE AS df
+                   FROM tf JOIN qterms USING (term) GROUP BY tf.term),
+            scores AS (
+                SELECT tf.doc_id,
+                       sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                            * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
+                       ) AS score
+                FROM tf JOIN df ON tf.term = df.term
+                        JOIN dl ON tf.doc_id = dl.doc_id
+                        CROSS JOIN stats s
+                GROUP BY tf.doc_id)
+            SELECT doc_id, round(score, 6) AS score FROM scores
             ORDER BY round(score, 6) DESC, doc_id LIMIT 10
         """,
     }

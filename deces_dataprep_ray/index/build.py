@@ -1218,7 +1218,14 @@ def build_index(
     # so per-file/row-group doc_id stats prune lookups at 10^12 docs.
     if not man.phase_done("docvalues"):
         dv_dir = os.path.join(index_dir, "docvalues")
-        dv_cols = ["doc_id", "url", "dl"] + [n for n, _ in passthrough]
+        # per-field lengths ride along so a tombstoned doc's exact stats
+        # contribution is recoverable in O(deletes) at compaction
+        # (multi.tombstone_docs / compact_generations)
+        fdl_cols = (["dl__" + f for f in
+                     sorted({**(fields or {}), **(keyword_fields or {})})]
+                    if fielded else [])
+        dv_cols = ["doc_id", "url", "dl"] + fdl_cols + \
+            [n for n, _ in passthrough]
         # docvalue rows are tiny (~40 B/doc): a CPU-scaled block count makes
         # the sort exchange SLOWER (measured 0.6 s @8cpu → 1.1 s @32cpu on
         # 400k rows); cap the sort width instead of scaling it with the pool

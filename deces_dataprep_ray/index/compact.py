@@ -90,6 +90,27 @@ def _decode_row(row: dict, with_pos: bool):
     return docs, tfs, dls, poss
 
 
+def _filter_excluded(docs, tfs, dls, poss, excl: np.ndarray):
+    """Drop tombstoned docs from one decoded posting list (positions slices
+    gathered along). Returns the filtered quadruple."""
+    if not len(excl) or not len(docs):
+        return docs, tfs, dls, poss
+    keep = ~np.isin(docs, excl)
+    if keep.all():
+        return docs, tfs, dls, poss
+    if poss is not None:
+        plens = np.minimum(tfs, 255).astype(np.int64)
+        pstarts = np.cumsum(plens) - plens
+        k = np.flatnonzero(keep)
+        kl = plens[k]
+        tot = int(kl.sum())
+        idx = (np.repeat(pstarts[k], kl)
+               + np.arange(tot, dtype=np.int64)
+               - np.repeat(np.cumsum(kl) - kl, kl))
+        poss = poss[idx]
+    return docs[keep], tfs[keep], dls[keep], poss
+
+
 def _table_rows(tbl: pa.Table, with_pos: bool):
     """Iterate a bucket table as decode-ready dicts (mirrors the reader)."""
     for i in range(tbl.num_rows):
@@ -172,9 +193,15 @@ class CompactBucket:
                  salt_shards: int, out_dir: str, cfg_hash: str,
                  avgdl: float, k1: float, b: float, block_size: int,
                  avgdl_map: dict[str, float] | None, with_pos: bool,
-                 skip_buckets: tuple[int, ...] = ()):
+                 skip_buckets: tuple[int, ...] = (),
+                 exclusions_ref: Any = None):
         heads = (ray.get(heads_ref)
                  if isinstance(heads_ref, ray.ObjectRef) else list(heads_ref))
+        excl = (ray.get(exclusions_ref)
+                if isinstance(exclusions_ref, ray.ObjectRef)
+                else exclusions_ref)
+        self.exclusions = (excl if excl is not None
+                           else [np.empty(0, np.uint64)] * len(gen_dirs))
         self.gen_dirs = gen_dirs
         self.union_heads = set(heads)
         self.num_buckets = num_buckets
@@ -217,6 +244,7 @@ class CompactBucket:
         parts = _Partials(self.with_pos)
         for gi, gdir in enumerate(self.gen_dirs):
             moved = self.moved[gi]
+            excl = self.exclusions[gi]
             path = os.path.join(bucket_dir(gdir, b), "part.parquet")
             if os.path.exists(path):
                 tbl = pq.read_table(path)
@@ -224,6 +252,10 @@ class CompactBucket:
                     if row["term"] in moved:
                         continue  # target tasks pull these (re-routed)
                     docs, tfs, dls, poss = _decode_row(row, self.with_pos)
+                    docs, tfs, dls, poss = _filter_excluded(
+                        docs, tfs, dls, poss, excl)
+                    if not len(docs):
+                        continue  # the whole posting list was tombstoned
                     parts.add(b, row["term"], row["seg"],
                               docs, tfs, dls, poss)
             # moved pickup: union-head terms this generation hash-routed,
@@ -244,6 +276,10 @@ class CompactBucket:
                     filter=pc.field("term").isin([t for t, _ in terms]))
                 for row in _table_rows(stbl, self.with_pos):
                     docs, tfs, dls, poss = _decode_row(row, self.with_pos)
+                    docs, tfs, dls, poss = _filter_excluded(
+                        docs, tfs, dls, poss, excl)
+                    if not len(docs):
+                        continue
                     route = routes[row["term"]]
                     salts = (docs >> self.salt_shift).astype(np.int64)
                     keep = route[salts] == b
@@ -314,6 +350,41 @@ def compact_generations(
     union_heads = sorted(set().union(*map(set, gen_heads)))
     n_docs = sum(int(m.phase("stats").get("n_docs", 0)) for m in mans)
     total_dl = sum(int(m.phase("stats").get("total_dl", 0)) for m in mans)
+
+    # tombstones: drop deleted docs' postings/docvalues and subtract their
+    # EXACT stats contribution — O(deletes) docstore lookups against the
+    # dl (+ per-field dl__*) columns the build stores for exactly this.
+    # After compaction the index is score-identical to a rebuild over the
+    # surviving docs (the ES force-merge reclaim).
+    from .docstore import DocStore
+    from .multi import generation_exclusions
+
+    exclusions = generation_exclusions(list(gen_dirs))
+    # manifest config stores fields as sorted (name, src_col) pair lists
+    field_names = (sorted({name for name, _ in (cfg0.get("fields") or [])}
+                          | {name for name, _ in
+                             (cfg0.get("keyword_fields") or [])})
+                   if fielded else [])
+    fdl_deltas: dict[str, list[int]] = {f: [0, 0] for f in field_names}
+    for gdir, excl in zip(gen_dirs, exclusions):
+        if not len(excl):
+            continue
+        store = DocStore(os.path.join(gdir, "docvalues"))
+        cols = ["dl"] + ["dl__" + f for f in field_names]
+        try:
+            tbl = store.lookup(excl, cols)
+        except Exception as exc:
+            raise RuntimeError(
+                f"generation {gdir} predates dl-bearing docvalues — "
+                "rebuild it (or compact without tombstones) to reclaim "
+                f"deletes: {exc}") from exc
+        n_docs -= tbl.num_rows
+        total_dl -= int(pc.sum(tbl["dl"]).as_py() or 0)
+        for f in field_names:
+            col = tbl["dl__" + f]
+            fdl_deltas[f][0] += int(pc.sum(col).as_py() or 0)
+            fdl_deltas[f][1] += int(pc.sum(
+                pc.cast(pc.greater(col, 0), pa.int64())).as_py() or 0)
     avgdl = (total_dl / n_docs) if n_docs else 1.0
 
     avgdl_map: dict[str, float] | None = None
@@ -326,15 +397,24 @@ def compact_generations(
                 s[0] += int(v.get("sum_dl", 0))
                 s[1] += int(v.get("n_docs", 0))
         for f, (s, c) in sums.items():
+            ds, dc = fdl_deltas.get(f, (0, 0))
+            s, c = s - ds, c - dc
             fstats[f] = {"n_docs": c, "sum_dl": s,
                          "avgdl": (s / c) if c else 0.0}
         avgdl_map = {f: (float(v["avgdl"]) or 1.0)
                      for f, v in fstats.items()}
 
+    tomb_tag = ""
+    if any(len(e) for e in exclusions):
+        h = hashlib.sha256()
+        for e in exclusions:
+            h.update(np.ascontiguousarray(e).tobytes())
+        tomb_tag = f"-tomb:{h.hexdigest()[:12]}"
     cfg = dict(
         cfg0,
         input_tag="compact(" + "+".join(
-            str(m.doc["config"].get("input_tag")) for m in mans) + ")",
+            str(m.doc["config"].get("input_tag")) for m in mans)
+        + ")" + tomb_tag,
     )
     existing = Manifest.load(out_dir) if resume else None
     if existing is not None and existing.compatible_with(cfg):
@@ -361,6 +441,7 @@ def compact_generations(
     if not man.phase_done("postings"):
         done = done_buckets(out_dir, num_buckets, man.hash) if resume else {}
         heads_ref = ray.put(union_heads)
+        exclusions_ref = ray.put(exclusions)
         conc = concurrency or min(num_buckets, 16)
         manifest_rows = (
             rd.range(num_buckets, override_num_blocks=num_buckets)
@@ -375,6 +456,7 @@ def compact_generations(
                     block_size=block_size, avgdl_map=avgdl_map,
                     with_pos=with_pos,
                     skip_buckets=tuple(done.keys()),
+                    exclusions_ref=exclusions_ref,
                 ),
                 batch_format="pyarrow",
                 concurrency=conc,
@@ -408,20 +490,36 @@ def compact_generations(
 
     if not man.phase_done("docvalues"):
         dv_dir = os.path.join(out_dir, "docvalues")
-        src_dirs = [
-            os.path.join(g, "docvalues", f)
-            for g in gen_dirs if os.path.isdir(os.path.join(g, "docvalues"))
-            for f in sorted(os.listdir(os.path.join(g, "docvalues")))
-            if f.endswith(".parquet")
-        ]
         tmp_dir = dv_dir + ".tmp"
         for d in (tmp_dir, dv_dir):
             if os.path.exists(d):
                 shutil.rmtree(d)
-        if src_dirs:
-            (rd.read_parquet(src_dirs, override_num_blocks=16)
-             .sort("doc_id")
-             .write_parquet(tmp_dir, row_group_size=8192))
+        gen_ds = []
+        for g, excl in zip(gen_dirs, exclusions):
+            gd = os.path.join(g, "docvalues")
+            if not os.path.isdir(gd):
+                continue
+            srcs = [os.path.join(gd, f) for f in sorted(os.listdir(gd))
+                    if f.endswith(".parquet")]
+            if not srcs:
+                continue
+            ds = rd.read_parquet(srcs, override_num_blocks=16)
+            if len(excl):
+                excl_ref = ray.put(excl)
+
+                def drop(t: pa.Table, _ref=excl_ref) -> pa.Table:
+                    e = ray.get(_ref)
+                    ids = t["doc_id"].to_numpy().astype(np.uint64)
+                    return t.filter(pa.array(
+                        ~np.isin(ids, e, assume_unique=True)))
+
+                ds = ds.map_batches(drop, batch_format="pyarrow")
+            gen_ds.append(ds)
+        if gen_ds:
+            base = gen_ds[0]
+            for other in gen_ds[1:]:
+                base = base.union(other)
+            base.sort("doc_id").write_parquet(tmp_dir, row_group_size=8192)
         os.makedirs(tmp_dir, exist_ok=True)
         os.replace(tmp_dir, dv_dir)
         n_rows = sum(

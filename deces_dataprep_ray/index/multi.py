@@ -35,11 +35,22 @@ from .reader import IndexReader
 
 
 class MultiReader:
-    """Read-only union over index generations (disjoint doc sets)."""
+    """Read-only union over index generations.
+
+    Doc sets must be disjoint UNLESS the overlap is covered by tombstones
+    (``tombstone_docs``): generation i serves a doc unless generation i or
+    a LATER one tombstoned it — the ES/Lucene live-docs rule. An update
+    re-adds the doc in a new generation and tombstones the previous
+    newest. Corpus stats (N, avgdl, df) stay UNADJUSTED until
+    compaction, matching Lucene (deleted docs smear idf until a merge);
+    ``compact_generations`` drops tombstoned postings and subtracts their
+    exact stats contribution."""
 
     def __init__(self, index_dirs: list[str]):
         assert index_dirs
         self.readers = [IndexReader(d) for d in index_dirs]
+        self.exclusions = generation_exclusions(list(index_dirs))
+        self.has_tombstones = any(len(e) for e in self.exclusions)
         cfg0 = self.readers[0].manifest.doc["config"]
         for r in self.readers[1:]:
             cfg = r.manifest.doc["config"]
@@ -65,7 +76,15 @@ class MultiReader:
         cached = self._postings_cache.get(term)
         if cached is not None:
             return cached
-        parts = [r.postings(term) for r in self.readers]
+        parts = []
+        for r, excl in zip(self.readers, self.exclusions):
+            p = r.postings(term)
+            if len(excl) and len(p[0]):
+                # drop docs tombstoned by a LATER generation (sorted-set
+                # membership — the lazy must_not machinery's shape)
+                keep = ~np.isin(p[0], excl, assume_unique=True)
+                p = (p[0][keep], p[1][keep], p[2][keep])
+            parts.append(p)
         docs = np.concatenate([p[0] for p in parts])
         tfs = np.concatenate([p[1] for p in parts]).astype(np.uint32)
         dls = np.concatenate([p[2] for p in parts]).astype(np.uint32)
@@ -87,6 +106,16 @@ class MultiReader:
         interleave across generations (hash ids), which the pruned scorer
         tolerates: it only needs per-segment block bounds, never a global
         doc order across segments."""
+        if self.has_tombstones:
+            # the pruned scorer decodes segments directly and would score
+            # (and could return) tombstoned docs; between compactions a
+            # tombstoned union serves through the exhaustive scorer over
+            # the filtered ``postings`` union — the fast path returns at
+            # compaction (the reference's monthly rollup cadence; ES takes
+            # the same hit on high-delete-ratio segments until merge)
+            raise RuntimeError(
+                "pruned/segment serving unavailable while tombstones are "
+                "live; use the exact scorer or compact_generations()")
         out: list[dict] = []
         for r in self.readers:
             scale = max(1.0, self.avgdl / r.avgdl)
@@ -110,3 +139,71 @@ class MultiReader:
     def vocabulary_size(self) -> int:
         # upper bound (terms shared across generations count once per gen)
         return sum(r.vocabulary_size() for r in self.readers)
+
+
+# --- tombstones: deletes / updates between compactions ----------------------
+
+TOMBSTONE_FILE = "_tombstones.parquet"
+
+
+def tombstone_docs(index_dir: str, doc_ids=None, urls=None) -> int:
+    """Mark docs deleted in generation ``index_dir`` AND all earlier
+    generations of a :class:`MultiReader` list (the Lucene live-docs rule:
+    a delete masks the segment where the doc lives; later generations are
+    untouched). The ES delete/update story between merges:
+
+    - delete  = tombstone the doc_id in the NEWEST generation (kills every
+      live copy),
+    - update  = rebuild the doc into a NEW generation (same url ⇒ same
+      doc_id), then tombstone the previously-newest generation — the old
+      copies go dark, the new copy serves.
+
+    Merges into ``<index_dir>/_tombstones.parquet`` (sorted uint64,
+    atomic replace). Returns the total tombstone count after the merge."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..functions.ids import doc_id_from_url
+
+    ids = [np.uint64(d) for d in (doc_ids or [])]
+    ids += [np.uint64(doc_id_from_url(u)) for u in (urls or [])]
+    path = os.path.join(index_dir, TOMBSTONE_FILE)
+    merged = np.asarray(ids, np.uint64)
+    if os.path.exists(path):
+        merged = np.concatenate(
+            [pq.read_table(path)["doc_id"].to_numpy().astype(np.uint64),
+             merged])
+    merged = np.unique(merged)
+    tmp = path + ".tmp"
+    pq.write_table(pa.table({"doc_id": pa.array(merged, pa.uint64())}), tmp)
+    os.replace(tmp, path)
+    return int(len(merged))
+
+
+def load_tombstones(index_dir: str) -> np.ndarray:
+    """Sorted uint64 tombstones of a generation (empty if none)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(index_dir, TOMBSTONE_FILE)
+    if not os.path.exists(path):
+        return np.empty(0, np.uint64)
+    return pq.read_table(path)["doc_id"].to_numpy().astype(np.uint64)
+
+
+def generation_exclusions(index_dirs: list[str]) -> list[np.ndarray]:
+    """Per-generation exclusion sets: exclusions[i] = sorted union of the
+    tombstones carried by generation i AND every later generation (list
+    order = generation order, oldest first) — a tombstone kills the doc in
+    its own generation and all earlier ones, never in later ones (where an
+    updated copy may live)."""
+    tombs = [load_tombstones(d) for d in index_dirs]
+    out: list[np.ndarray] = []
+    acc = np.empty(0, np.uint64)
+    for t in reversed(tombs):
+        acc = np.union1d(acc, t)
+        out.append(acc)
+    return list(reversed(out))

@@ -678,6 +678,10 @@ def search(
     where lists are sparse and skips dominate)."""
     if algorithm == "auto":
         algorithm = "exact" if reader.vocabulary_size() < 50_000 else "pruned"
+        if getattr(reader, "has_tombstones", False):
+            # live tombstones: only the exhaustive scorer sees the filtered
+            # postings union (multi.MultiReader.term_segments documents why)
+            algorithm = "exact"
     if algorithm == "pruned":
         return search_pruned(reader, query, k)
     if algorithm == "wand":

@@ -1397,3 +1397,35 @@ def q_rescore(sf_dir: str) -> pd.DataFrame:
     res = rescore(reader, "data row", "data spark", k=200,
                   window_size=100_000, rescore_weight=2.0)
     return _rounded_topk(res, reader)
+
+
+def q_bm25_tombstoned(sf_dir: str) -> pd.DataFrame:
+    """Deletes via tombstones (ES live-docs): docs with orig id % 7 == 0
+    are tombstoned in the newest generation, the generations compact (the
+    force-merge reclaim), and BM25 over the compacted index must equal the
+    relational BM25 over the SURVIVING docs — stats (N, avgdl, df) exactly
+    adjusted, deleted postings gone. Generation dirs are COPIES so the
+    ``bm25_incremental`` gate's cached dirs stay tombstone-free."""
+    import shutil
+
+    from ..index.compact import compact_generations
+    from ..index.multi import tombstone_docs
+    from ..index.query import search_exact
+    from ..index.reader import IndexReader
+
+    dirs, tag = _incremental_gens(sf_dir)
+    tdirs = []
+    for i, src in enumerate(dirs):
+        t = os.path.join("/tmp", "dcray_index_cache", f"tomb{i}_{tag}")
+        if not os.path.exists(t):
+            shutil.copytree(src, t)
+        tdirs.append(t)
+    doc_path = os.path.join(sf_dir, "documents.parquet")
+    origs = pq.read_table(doc_path, columns=["doc_id"])["doc_id"].to_numpy()
+    dead = [f"doc://{int(i)}" for i in origs if i % 7 == 0]
+    tombstone_docs(tdirs[-1], urls=dead)  # idempotent (sorted-set merge)
+    out_dir = os.path.join("/tmp", "dcray_index_cache", f"tombcmp_{tag}")
+    compact_generations(tdirs, out_dir)
+    reader = IndexReader(out_dir)
+    res = search_exact(reader, "data spark window", k=200)
+    return _rounded_topk(res, reader)
