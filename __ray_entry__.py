@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "terms_terms_agg": dq.q_terms_terms_agg,
         "rescore": dq.q_rescore,
         "bm25_tombstoned": dq.q_bm25_tombstoned,
+        "decay_score": dq.q_decay_score,
         # rows-only (non-SQL-expressible: sketches / LSH; brute-force
         # oracles for these live in tests/test_dedup_ann.py)
         "minhash_pairs": dq.q_minhash_pairs,
@@ -1337,6 +1338,37 @@ def oracle_sql() -> dict[str, str]:
                         CROSS JOIN stats s
                 GROUP BY tf.doc_id)
             SELECT doc_id, round(score, 6) AS score FROM scores
+            ORDER BY round(score, 6) DESC, doc_id LIMIT 10
+        """,
+        # gauss decay boost: BM25 × exp(−d²/2σ²), d = max(0,|n_chars−200|−10),
+        # σ² = −100²/(2·ln 0.5)
+        "decay_score": f"""
+            WITH tok AS (
+                SELECT doc_id, unnest({tok}) AS term FROM documents
+            ),
+            tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+            dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+            stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+            qterms(term) AS (VALUES ('data'), ('spark'), ('window')),
+            df AS (SELECT tf.term, count(*)::DOUBLE AS df
+                   FROM tf JOIN qterms USING (term) GROUP BY tf.term),
+            scores AS (
+                SELECT tf.doc_id,
+                       sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                            * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
+                       ) AS score
+                FROM tf JOIN df ON tf.term = df.term
+                        JOIN dl ON tf.doc_id = dl.doc_id
+                        CROSS JOIN stats s
+                GROUP BY tf.doc_id),
+            decayed AS (
+                SELECT sc.doc_id,
+                       sc.score * exp(
+                           -pow(greatest(0, abs(d.n_chars - 200.0) - 10.0), 2)
+                           / (2.0 * (-pow(100.0, 2) / (2.0 * ln(0.5))))
+                       ) AS score
+                FROM scores sc JOIN documents d USING (doc_id))
+            SELECT doc_id, round(score, 6) AS score FROM decayed
             ORDER BY round(score, 6) DESC, doc_id LIMIT 10
         """,
     }

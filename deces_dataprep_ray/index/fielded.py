@@ -664,3 +664,63 @@ def function_score(reader: IndexReader, query: str | None, field: str,
         raise ValueError(f"unknown modifier {modifier!r}")
     out = scores * fv if boost_mode == "multiply" else scores + fv
     return _topk_from_scores(union, out, k)
+
+
+def decay_score(reader: IndexReader, query: str | None, field: str,
+                *, origin: float, scale: float, offset: float = 0.0,
+                decay: float = 0.5, shape: str = "gauss",
+                k: int = 10, missing: float | None = None,
+                filters=None, matches=None) -> list[tuple[int, float]]:
+    """ES ``function_score`` decay functions (``gauss``/``exp``/``linear``
+    on a numeric or date docvalue): final score = BM25 × decay(|v−origin|),
+    the "boost by recency/proximity" pattern. ES formulas (distance d =
+    max(0, |v − origin| − offset)):
+
+    - gauss:  exp(−d² / (2σ²)),  σ² = −scale² / (2·ln(decay))
+    - exp:    exp(λ·d),          λ  = ln(decay) / scale
+    - linear: max(0, (s − d)/s), s  = scale / (1 − decay)
+
+    so a doc at distance ``scale`` past ``offset`` scores exactly
+    ``decay``× its BM25. Docs missing the field score 0 unless ``missing``
+    gives a substitute value (pre-decay). Same execution shape as
+    ``function_score``: exhaustive match union + ONE pruned docstore
+    gather — O(match set)."""
+    from .query import _score_all
+
+    if matches is not None:
+        union, scores = _score_fields_all(reader, matches, filters)
+        live = scores > 0.0
+        union, scores = union[live], scores[live]
+    else:
+        union, scores = _score_all(reader, query)
+        allow, exclude = _resolve_filters(reader, filters)
+        mask = _filter_mask(union, allow, exclude)
+        if mask is not None:
+            union, scores = union[mask], scores[mask]
+    if not len(union):
+        return []
+    tbl = reader.docstore.lookup(union, [field])
+    vals = np.full(len(union), np.nan, np.float64)
+    got_ids = tbl["doc_id"].to_numpy().astype(np.uint64)
+    col = tbl[field]
+    if pa.types.is_timestamp(col.type) or pa.types.is_date(col.type):
+        col = pc.cast(col, pa.int64())
+    got = pc.cast(col, pa.float64()).to_numpy(zero_copy_only=False)
+    vals[np.searchsorted(union, got_ids)] = got
+    if missing is not None:
+        vals = np.where(np.isnan(vals), float(missing), vals)
+    d = np.maximum(0.0, np.abs(vals - float(origin)) - float(offset))
+    if not (0.0 < decay < 1.0) or scale <= 0:
+        raise ValueError("need 0 < decay < 1 and scale > 0")
+    if shape == "gauss":
+        sigma2 = -(scale * scale) / (2.0 * np.log(decay))
+        mult = np.exp(-(d * d) / (2.0 * sigma2))
+    elif shape == "exp":
+        mult = np.exp(np.log(decay) / scale * d)
+    elif shape == "linear":
+        s = scale / (1.0 - decay)
+        mult = np.maximum(0.0, (s - d) / s)
+    else:
+        raise ValueError(f"unknown decay shape {shape!r}")
+    mult = np.where(np.isnan(mult), 0.0, mult)  # missing field ⇒ 0
+    return _topk_from_scores(union, scores * mult, k)

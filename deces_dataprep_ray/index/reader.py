@@ -32,6 +32,13 @@ from ..state.manifest import Manifest, bucket_dir
 
 class IndexReader:
     def __init__(self, index_dir: str):
+        if not os.path.isdir(index_dir):
+            # alias indirection (blue/green swap): resolve the pointer file
+            # once at open; an open reader keeps serving its resolved
+            # generation until reopened (ES searcher-refresh semantics)
+            from .alias import resolve_alias
+
+            index_dir = resolve_alias(index_dir)
         man = Manifest.load(index_dir)
         if man is None:
             raise FileNotFoundError(f"no manifest at {index_dir}")

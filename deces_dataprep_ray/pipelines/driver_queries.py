@@ -1429,3 +1429,17 @@ def q_bm25_tombstoned(sf_dir: str) -> pd.DataFrame:
     reader = IndexReader(out_dir)
     res = search_exact(reader, "data spark window", k=200)
     return _rounded_topk(res, reader)
+
+
+def q_decay_score(sf_dir: str) -> pd.DataFrame:
+    """ES function_score gauss decay on the n_chars docvalue: score =
+    BM25(text match) × exp(−d²/2σ²), d = max(0, |n_chars−200| − 10),
+    σ² = −100²/(2·ln 0.5) — docs 110 chars past the offset band score half."""
+    from ..index.fielded import decay_score
+    from ..index.reader import IndexReader
+
+    reader = IndexReader(_fielded_index_for(sf_dir))
+    res = decay_score(reader, None, "n_chars", origin=200.0, scale=100.0,
+                      offset=10.0, decay=0.5, shape="gauss", k=200,
+                      matches=[("text", "data spark window")])
+    return _fielded_topk(reader, res)

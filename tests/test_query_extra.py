@@ -451,3 +451,71 @@ def test_rescore_phrase_window(pp_setup):
         [(d, round(s, 9)) for d, s in want]
     # phrase docs outrank equal-BM25 non-phrase docs after rescoring
     assert any(d in phrase for d, _ in got)
+
+
+def test_decay_score(dv_corpus, dv_index):
+    from deces_dataprep_ray.index.fielded import decay_score
+
+    df, _ = dv_corpus
+    r = IndexReader(dv_index)
+    base = _brute_scores(df, "data spark")
+    vals = df["rank_val"].to_numpy(float)
+    for shape in ("gauss", "exp", "linear"):
+        d = np.maximum(0.0, np.abs(vals - 45.0) - 2.0)
+        if shape == "gauss":
+            s2 = -(20.0 ** 2) / (2 * np.log(0.5))
+            m = np.exp(-(d * d) / (2 * s2))
+        elif shape == "exp":
+            m = np.exp(np.log(0.5) / 20.0 * d)
+        else:
+            s = 20.0 / 0.5
+            m = np.maximum(0.0, (s - d) / s)
+        want = base * m
+        pdf = pd.DataFrame({"doc_id": _did(df).astype("uint64"),
+                            "score": want})
+        pdf = pdf[base > 0].sort_values(
+            ["score", "doc_id"], ascending=[False, True]).head(6)
+        got = decay_score(r, "data spark", "rank_val", origin=45.0,
+                          scale=20.0, offset=2.0, decay=0.5, shape=shape,
+                          k=6)
+        assert [x for x, _ in got] == pdf["doc_id"].tolist(), shape
+        np.testing.assert_allclose([s_ for _, s_ in got], pdf["score"],
+                                   rtol=1e-9)
+    # a doc at exactly origin+offset+scale scores decay x its BM25
+    got = decay_score(r, "data spark", "rank_val", origin=0.0, scale=10.0,
+                      decay=0.5, shape="gauss", k=90)
+    by_id = dict(got)
+    at = df[df["rank_val"] == 10]
+    did = int(_did(at).iloc[0])
+    if did in by_id:
+        i = df.index[df["rank_val"] == 10][0]
+        np.testing.assert_allclose(by_id[did], base[i] * 0.5, rtol=1e-9)
+
+
+def test_alias_swap(dv_index, tmp_path, dv_corpus):
+    from deces_dataprep_ray.index.alias import (
+        delete_alias,
+        list_aliases,
+        resolve_alias,
+        set_alias,
+    )
+    from deces_dataprep_ray.index.query import search_exact
+
+    adir = str(tmp_path / "aliases")
+    set_alias(adir, "live", dv_index)
+    assert list_aliases(adir) == {"live": os.path.abspath(dv_index)}
+    alias_name = os.path.join(adir, "live")
+    assert resolve_alias(alias_name) == os.path.abspath(dv_index)
+    # readers open through the alias and serve the target
+    r = IndexReader(alias_name)
+    assert search_exact(r, "data", 3)
+    # atomic re-point: a second index (here: the same dir via a chained
+    # alias) swaps in without a torn state
+    set_alias(adir, "next", dv_index)
+    set_alias(adir, "live", os.path.join(adir, "next"))  # alias → alias
+    assert resolve_alias(alias_name) == os.path.abspath(dv_index)
+    with pytest.raises(FileNotFoundError):
+        set_alias(adir, "bad", str(tmp_path / "nonexistent"))
+    assert delete_alias(adir, "next")
+    with pytest.raises(FileNotFoundError):
+        resolve_alias(os.path.join(adir, "next"))
