@@ -156,9 +156,11 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool) -> dict:
         dt = time.time() - t
         queries["service_qps_8workers"] = round(len(qs) / dt, 1)
         # heterogeneous msearch batch (mixed match/wildcard/fuzzy/MLT)
-        # wildcard stems keep ≥6 chars: a bare "term*" would expand to the
-        # ENTIRE synthetic vocabulary (an ~8k-term OR per request) and
-        # measure pathological expansion scoring, not service dispatch
+        # wildcard stems are truncated to ≤6 chars (short first tokens
+        # like "42" stay short); max_expansions=64 is what actually bounds
+        # each slot's OR width — a bare unbounded "term*" would expand to
+        # the ENTIRE ~8k-term synthetic vocabulary per request and measure
+        # pathological expansion scoring, not service dispatch
         mreqs = [
             {"type": "match", "query": q} if i % 4 == 0 else
             {"type": "wildcard", "query": q.split()[0][:6] + "*",
@@ -445,18 +447,18 @@ def run_scaling(sf_dir: str) -> dict:
         "clean_efficiency_vs_hw_capacity": round(clean_speedup / hw_ratio, 3),
         "floor_efficiency": round(floor_speedup / (hi_n / lo_n), 3),
         "floor_efficiency_vs_hw_capacity": round(floor_speedup / hw_ratio, 3),
-        "hw_capacity_ratio_8_to_32": round(hw_ratio, 3),
+        f"hw_capacity_ratio_{lo_n}_to_{hi_n}": round(hw_ratio, 3),
         "levels": [lo_n, hi_n],
         "hw_capacity_ratios_per_sample": [round(r, 3) for r in hw_ratios],
         "samples_per_leg": n_samples,
-        "leg_8cpu": lo,
-        "leg_32cpu": hi,
+        f"leg_{lo_n}cpu": lo,
+        f"leg_{hi_n}cpu": hi,
         "docs": docs,
         "sf": samples[lo_n][0]["sf"],
-        "docs_per_sec_8cpu": lo["median_docs_per_sec"],
-        "docs_per_sec_32cpu": hi["median_docs_per_sec"],
-        "queries": {"build_8cpu": lo["median_wall"],
-                    "build_32cpu": hi["median_wall"]},
+        f"docs_per_sec_{lo_n}cpu": lo["median_docs_per_sec"],
+        f"docs_per_sec_{hi_n}cpu": hi["median_docs_per_sec"],
+        "queries": {f"build_{lo_n}cpu": lo["median_wall"],
+                    f"build_{hi_n}cpu": hi["median_wall"]},
     }
 
 

@@ -528,11 +528,25 @@ def sort_by_field(reader: IndexReader, column: str, k: int = 10,
     table, k rows."""
     import os
 
+    import pyarrow.parquet as pq
     import ray.data as rd
+
+    dv_dir = os.path.join(reader.index_dir, "docvalues")
+
+    def _empty() -> pa.Table:
+        # schema-stable empty result: (doc_id, column) with the column's
+        # real type from the docvalues footer
+        first = sorted(f for f in os.listdir(dv_dir)
+                       if f.endswith(".parquet"))[0]
+        schema = pq.read_schema(os.path.join(dv_dir, first))
+        return pa.table({
+            "doc_id": pa.array([], pa.uint64()),
+            column: pa.array([], schema.field(column).type),
+        })
 
     allow, exclude = _resolve_filters(reader, filters)
     if allow is not None and not len(allow):
-        return pa.table({"doc_id": pa.array([], pa.uint64())})
+        return _empty()
     order = [(column, "descending" if descending else "ascending"),
              ("doc_id", "ascending")]
 
@@ -548,15 +562,33 @@ def sort_by_field(reader: IndexReader, column: str, k: int = 10,
 
     import ray
 
-    dv_dir = os.path.join(reader.index_dir, "docvalues")
     refs = (rd.read_parquet(dv_dir, columns=["doc_id", column])
             .map_batches(partial, batch_format="pyarrow")
             .to_arrow_refs())
     parts = [t for t in ray.get(refs) if t.num_rows]
     if not parts:
-        return pa.table({"doc_id": pa.array([], pa.uint64())})
+        return _empty()
     merged = pa.concat_tables(parts)  # ≤ k rows per input batch
     return merged.take(pc.sort_indices(merged, sort_keys=order)[:k])
+
+
+def _matched_union(reader: IndexReader, query: str | None, matches,
+                   filters) -> tuple[np.ndarray, np.ndarray]:
+    """The scored, filter-masked match union — shared query context of
+    collapse/function_score/decay (``query`` = unfielded match, ``matches``
+    = fielded bool clauses)."""
+    from .query import _score_all
+
+    if matches is not None:
+        union, scores = _score_fields_all(reader, matches, filters)
+        live = scores > 0.0
+        return union[live], scores[live]
+    union, scores = _score_all(reader, query)
+    allow, exclude = _resolve_filters(reader, filters)
+    mask = _filter_mask(union, allow, exclude)
+    if mask is not None:
+        union, scores = union[mask], scores[mask]
+    return union, scores
 
 
 def collapse_topk(reader: IndexReader, query: str | None,
@@ -575,18 +607,7 @@ def collapse_topk(reader: IndexReader, query: str | None,
     ever looked up, never the whole match set (ES collapses per-shard
     top-groups the same way). Query context: ``query`` (unfielded) or
     ``matches`` (fielded bool clauses). Returns [(doc_id, score, key)]."""
-    from .query import _score_all
-
-    if matches is not None:
-        union, scores = _score_fields_all(reader, matches, filters)
-        live = scores > 0.0
-        union, scores = union[live], scores[live]
-    else:
-        union, scores = _score_all(reader, query)
-        allow, exclude = _resolve_filters(reader, filters)
-        mask = _filter_mask(union, allow, exclude)
-        if mask is not None:
-            union, scores = union[mask], scores[mask]
+    union, scores = _matched_union(reader, query, matches, filters)
     if not len(union):
         return []
     order = np.lexsort((union, -scores))
@@ -628,18 +649,7 @@ def function_score(reader: IndexReader, query: str | None, field: str,
 
     The query context is either ``query`` (unfielded match) or ``matches``
     (fielded bool clauses, per-field stats)."""
-    from .query import _score_all
-
-    if matches is not None:
-        union, scores = _score_fields_all(reader, matches, filters)
-        live = scores > 0.0
-        union, scores = union[live], scores[live]
-    else:
-        union, scores = _score_all(reader, query)
-        allow, exclude = _resolve_filters(reader, filters)
-        mask = _filter_mask(union, allow, exclude)
-        if mask is not None:
-            union, scores = union[mask], scores[mask]
+    union, scores = _matched_union(reader, query, matches, filters)
     if not len(union):
         return []
     tbl = reader.docstore.lookup(union, [field])
@@ -685,18 +695,7 @@ def decay_score(reader: IndexReader, query: str | None, field: str,
     gives a substitute value (pre-decay). Same execution shape as
     ``function_score``: exhaustive match union + ONE pruned docstore
     gather — O(match set)."""
-    from .query import _score_all
-
-    if matches is not None:
-        union, scores = _score_fields_all(reader, matches, filters)
-        live = scores > 0.0
-        union, scores = union[live], scores[live]
-    else:
-        union, scores = _score_all(reader, query)
-        allow, exclude = _resolve_filters(reader, filters)
-        mask = _filter_mask(union, allow, exclude)
-        if mask is not None:
-            union, scores = union[mask], scores[mask]
+    union, scores = _matched_union(reader, query, matches, filters)
     if not len(union):
         return []
     tbl = reader.docstore.lookup(union, [field])

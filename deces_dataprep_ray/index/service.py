@@ -67,7 +67,9 @@ class _QueryWorker:
                 field=r.get("field")),
             "fuzzy": lambda r: Q.search_fuzzy(
                 self.reader, r["query"], r.get("k", 10),
-                max_dist=r.get("max_dist", 1)),
+                max_dist=r.get("max_dist", 1),
+                max_expansions=r.get("max_expansions", 64),
+                field=r.get("field")),
             "wildcard": lambda r: Q.search_wildcard(
                 self.reader, r["query"], r.get("k", 10),
                 max_expansions=r.get("max_expansions", 1024),

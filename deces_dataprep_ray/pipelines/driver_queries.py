@@ -1207,7 +1207,8 @@ def q_wildcard(sf_dir: str) -> pd.DataFrame:
     from ..index.reader import IndexReader
 
     reader = IndexReader(_index_for(sf_dir))
-    res = search_wildcard(reader, "s?a*", k=200)
+    # uncapped: the oracle's LIKE enumerates every match (cap pytest-tested)
+    res = search_wildcard(reader, "s?a*", k=200, max_expansions=10**6)
     return _rounded_topk(res, reader)
 
 
@@ -1218,7 +1219,9 @@ def q_regexp(sf_dir: str) -> pd.DataFrame:
     from ..index.reader import IndexReader
 
     reader = IndexReader(_index_for(sf_dir))
-    res = search_regexp(reader, "s[cm]a.*|.*der", k=200)
+    # uncapped: the oracle's regexp enumerates every match (cap pytest-tested)
+    res = search_regexp(reader, "s[cm]a.*|.*der", k=200,
+                        max_expansions=10**6)
     return _rounded_topk(res, reader)
 
 
@@ -1327,7 +1330,12 @@ def q_phrase_prefix(sf_dir: str) -> pd.DataFrame:
     from ..index.reader import IndexReader
 
     reader = IndexReader(_positional_index_for(sf_dir))
-    res = search_phrase_prefix(reader, "data s", k=200)
+    # uncapped expansion: the SQL oracle enumerates every 's%' token, so
+    # the engine must too (the ES max_expansions=50 default would silently
+    # diverge on a vocabulary with >50 s-tokens; the cap itself is
+    # pytest-verified in test_query_extra)
+    res = search_phrase_prefix(reader, "data s", k=200,
+                               max_expansions=10**6)
     return _rounded_topk(res, reader)
 
 
