@@ -194,43 +194,35 @@ class QueryService:
         return ray.get(next(self._rr).highlight.remote(
             query, k, window, text_col))
 
-    def search_batch(self, queries: list[str], k: int = 10,
-                     algorithm: str = "auto") -> list:
-        """Fan a query batch across the pool; results in input order."""
+    def _fanout(self, items: list, call) -> list:
+        """Round-robin shard ``items`` across the pool, one actor call per
+        shard via ``call(worker, shard)``; results in input order."""
         n = len(self.workers)
-        shards: list[list[str]] = [[] for _ in range(n)]
+        shards: list[list] = [[] for _ in range(n)]
         owners: list[tuple[int, int]] = []
-        for i, q in enumerate(queries):
+        for i, item in enumerate(items):
             w = i % n
             owners.append((w, len(shards[w])))
-            shards[w].append(q)
-        futures = [
-            self.workers[w].search_many.remote(shard, k, algorithm)
-            for w, shard in enumerate(shards) if shard
-        ]
+            shards[w].append(item)
+        futures = [call(self.workers[w], shard)
+                   for w, shard in enumerate(shards) if shard]
         live = [w for w, shard in enumerate(shards) if shard]
         results = dict(zip(live, ray.get(futures)))
         return [results[w][j] for w, j in owners]
+
+    def search_batch(self, queries: list[str], k: int = 10,
+                     algorithm: str = "auto") -> list:
+        """Fan a query batch across the pool; results in input order."""
+        return self._fanout(
+            queries, lambda w, s: w.search_many.remote(s, k, algorithm))
 
     def msearch(self, requests: list[dict]) -> list:
         """ES ``_msearch``: a heterogeneous request batch (mixed query
         types — see ``_QueryWorker.msearch_many``) fanned across the pool,
         results in input order; a failing request returns an
         ``{"error": ...}`` slot, never fails the batch."""
-        n = len(self.workers)
-        shards: list[list[dict]] = [[] for _ in range(n)]
-        owners: list[tuple[int, int]] = []
-        for i, req in enumerate(requests):
-            w = i % n
-            owners.append((w, len(shards[w])))
-            shards[w].append(req)
-        futures = [
-            self.workers[w].msearch_many.remote(shard)
-            for w, shard in enumerate(shards) if shard
-        ]
-        live = [w for w, shard in enumerate(shards) if shard]
-        results = dict(zip(live, ray.get(futures)))
-        return [results[w][j] for w, j in owners]
+        return self._fanout(
+            requests, lambda w, s: w.msearch_many.remote(s))
 
     def shutdown(self) -> None:
         for w in self.workers:
