@@ -145,3 +145,51 @@ def test_position_codec_roundtrip_any(groups):
     flat = np.concatenate(groups)
     got = decode_positions(encode_positions(flat, lens), lens)
     assert (got == flat).all()
+
+
+@given(st.text(alphabet="abcde*?.[", min_size=0, max_size=12))
+@settings(max_examples=200, deadline=None)
+def test_wildcard_regexp_equals_fnmatch(pattern):
+    """wildcard_to_regexp's full-match semantics == fnmatch's, for any mix
+    of literals, metachars and regex-special chars (which must be escaped)."""
+    import fnmatch
+    import re
+
+    from deces_dataprep_ray.index.query import wildcard_to_regexp
+
+    regex, lit = wildcard_to_regexp(pattern)
+    # the literal prefix never contains a metachar and prefixes the pattern
+    assert "*" not in lit and "?" not in lit
+    assert pattern.startswith(lit)
+    for cand in ("", "a", "ab", "abc", "a.c", "ab[", "abcd", "xyz",
+                 pattern.replace("*", "zz").replace("?", "q")):
+        want = fnmatch.fnmatchcase(cand, pattern)
+        got = re.fullmatch(regex, cand) is not None
+        assert got == want, (pattern, cand)
+
+
+@given(st.floats(min_value=-1e6, max_value=1e6),
+       st.floats(min_value=0.1, max_value=1e4),
+       st.floats(min_value=0.0, max_value=1e3),
+       st.sampled_from(["gauss", "exp", "linear"]))
+@settings(max_examples=100, deadline=None)
+def test_decay_formula_properties(origin, scale, offset, shape):
+    """ES decay invariants: value 1 inside the offset band, exactly
+    ``decay`` at distance offset+scale, monotone nonincreasing in |d|."""
+    import numpy as np
+
+    decay = 0.5
+    d = np.array([0.0, offset * 0.5, offset, offset + scale,
+                  offset + 2 * scale])
+    dd = np.maximum(0.0, d - offset)
+    if shape == "gauss":
+        s2 = -(scale * scale) / (2 * np.log(decay))
+        m = np.exp(-(dd * dd) / (2 * s2))
+    elif shape == "exp":
+        m = np.exp(np.log(decay) / scale * dd)
+    else:
+        s = scale / (1 - decay)
+        m = np.maximum(0.0, (s - dd) / s)
+    assert m[0] == 1.0 and m[1] == 1.0 and m[2] == 1.0  # inside the band
+    np.testing.assert_allclose(m[3], decay, rtol=1e-12)  # the half point
+    assert np.all(np.diff(m) <= 1e-15)  # nonincreasing
