@@ -25,6 +25,13 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# The postings exchange is object-store-SPILL-bound at Ray's default store
+# sizing (~43% of memory): at 1.2M docs / 32 cpus the phase measured 54.8 s
+# spilling vs 25.1 s at 60% — sizing the store to the shuffle's working set
+# is the single biggest build knob on this box (a real cluster sizes
+# per-node stores the same way). setdefault: callers can still override.
+os.environ.setdefault("RAY_DEFAULT_OBJECT_STORE_MEMORY_PROPORTION", "0.6")
+
 BENCH_QUERIES = [
     "term1", "term2 term3", "term1 term2 term3 term4", "café crème",
     "sèvres 42", "term50 term300", "term1000 term2000 term1",
