@@ -72,6 +72,37 @@ def warm_workers(num_cpus: int) -> None:
         touch, batch_format="pyarrow").count()
 
 
+def _partial_flusher(result: dict):
+    """Incremental flush of the in-progress result to $BENCH_PARTIAL_PATH.
+
+    BENCH_r03 was voided by a single transient raylet crash (rc=1, no JSON).
+    The parent process (see `main`) retries a crashed child once and, if the
+    retry also dies, salvages the last flushed partial — so a late crash
+    keeps every number measured before it."""
+    path = os.environ.get("BENCH_PARTIAL_PATH")
+
+    def flush() -> None:
+        if not path:
+            return
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(result, f)
+        os.replace(tmp, path)
+        # test hook: simulate the r03 mid-run raylet death at the first
+        # flush point ("always" crashes every attempt → salvage path;
+        # a file path crashes only the first attempt → retry path)
+        inj = os.environ.get("BENCH_INJECT_CRASH")
+        if inj == "always":
+            os._exit(1)
+        if inj and inj != "always":
+            if not os.path.exists(inj):
+                with open(inj, "w") as f:
+                    f.write("crashed once")
+                os._exit(1)
+
+    return flush
+
+
 def run_bench(sf_dir: str, num_cpus: int, headline_only: bool) -> dict:
     import ray
 
@@ -104,6 +135,15 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool) -> dict:
     queries: dict[str, float] = {}
     index_dir = f"/tmp/dcray_bench/index_{n_docs}_{num_cpus}"
 
+    # in-progress result, flushed to $BENCH_PARTIAL_PATH after each section
+    # (queries is mutated in place, so every flush carries all numbers so far)
+    result = {
+        "metric": "index_build_sec", "value": None, "unit": "sec",
+        "queries": queries, "sf": sf, "num_cpus": num_cpus, "docs": n_docs,
+        "partial": True,
+    }
+    flush = _partial_flusher(result)
+
     # best-of-2: this sandbox shows ±20% run-to-run variance from noisy
     # neighbors; the minimum is the faithful measure of the engine.
     # (--scaling sets BENCH_BUILD_RUNS=1: the median-of-N protocol handles
@@ -126,6 +166,9 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool) -> dict:
     build_sec = min(build_times)
     queries["index_build"] = round(build_sec, 3)
     queries["index_build_runs"] = [round(t, 3) for t in build_times]
+    result["value"] = round(build_sec, 3)
+    result["docs_per_sec"] = round(n_docs / build_sec, 1)
+    flush()
 
     reader = IndexReader(index_dir)
 
@@ -149,6 +192,7 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool) -> dict:
     queries["query_pruned_p50"] = round(statistics.median(lat_p), 4)
     queries["query_wand_p50"] = round(statistics.median(lat_wand), 4)
     queries["query_exact_p50"] = round(statistics.median(lat_exact), 4)
+    flush()
 
     if not headline_only:
         import ray.data as rd
@@ -183,6 +227,7 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool) -> dict:
         queries["msearch_qps_8workers"] = round(
             len(mreqs) / (time.time() - t), 1)
         svc.shutdown()
+        flush()
 
         # dictionary-expansion + docvalue-serving latencies (warm)
         from deces_dataprep_ray.index.query import (
@@ -207,6 +252,7 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool) -> dict:
         t = time.time()
         more_like_this(reader, mlt_like, 10, max_query_terms=5)
         queries["query_mlt"] = round(time.time() - t, 4)
+        flush()
 
         t = time.time()
         out_dir = f"/tmp/dcray_bench/extract_{n_docs}"
@@ -218,6 +264,7 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool) -> dict:
             .write_parquet(out_dir)
         )
         queries["extract_html"] = round(time.time() - t, 3)
+        flush()
 
         from deces_dataprep_ray.pipelines import driver_queries as dq
 
@@ -232,6 +279,7 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool) -> dict:
             t = time.time()
             fn(sf_dir)
             queries[name] = round(time.time() - t, 3)
+            flush()
 
         # fielded index: build over the documents table (text+source fields,
         # lang keyword, n_chars docvalue), then filtered-query p50 warm
@@ -256,6 +304,7 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool) -> dict:
             lat_f.append(time.time() - t)
         queries["query_fielded_filtered_p50"] = round(
             statistics.median(lat_f), 4)
+        flush()
 
         # docvalue serving over the fielded index: distributed sort top-k,
         # collapse, terms+metrics aggregation (one wall each, warm index)
@@ -275,11 +324,13 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool) -> dict:
         t = time.time()
         terms_metric_agg(fr, "lang_dv", "n_chars")
         queries["terms_metric_agg"] = round(time.time() - t, 3)
+        flush()
 
         # persisted ANN index: one query reads only probe-bucket row groups
         t = time.time()
         dq.q_ann_lsh(sf_dir)
         queries["ann_lsh_persisted"] = round(time.time() - t, 3)
+        flush()
 
         # positional index + phrase p50: head-term phrases are the worst
         # case (candidate set = intersection of the hottest terms); the
@@ -307,6 +358,7 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool) -> dict:
             lat_sl.append(time.time() - t)
         queries["query_phrase_p50"] = round(statistics.median(lat_ph), 4)
         queries["query_phrase_slop2_p50"] = round(statistics.median(lat_sl), 4)
+        flush()
 
         # generation compaction: split the corpus into two halves, build
         # each as its own generation (resume-cached across runs), then time
@@ -325,6 +377,7 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool) -> dict:
         t = time.time()
         compact_generations(gdirs, cmp_dir, concurrency=min(64, num_cpus))
         queries["compact_generations"] = round(time.time() - t, 3)
+        flush()
 
     man = reader.manifest
     n_postings = man.phase("postings").get("n_postings", 0)
@@ -387,16 +440,21 @@ def run_scaling(sf_dir: str) -> dict:
                   os.environ.get("SCALING_LEVELS", "8,32").split(","))
 
     def one(ncpu: int) -> dict:
+        # --child: run the bench directly (no parent wrapper — a partial
+        # salvage would corrupt the measurement); retry a crashed sample
+        # once in a fresh process (transient raylet death, see BENCH_r03)
         env = dict(env_base, RAY_GRAFT_CPUS=str(ncpu))
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)], env=env,
-            capture_output=True, text=True,
-        )
-        if proc.returncode != 0:
-            raise RuntimeError(
-                f"scaling sample ({ncpu} cpus) failed:\n"
-                + proc.stderr[-4000:])
-        return json.loads(proc.stdout.strip().splitlines()[-1])
+        last_err = ""
+        for _ in range(2):
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--child"],
+                env=env, capture_output=True, text=True,
+            )
+            if proc.returncode == 0:
+                return json.loads(proc.stdout.strip().splitlines()[-1])
+            last_err = proc.stderr[-4000:]
+        raise RuntimeError(
+            f"scaling sample ({ncpu} cpus) failed twice:\n" + last_err)
 
     # hardware capacity is calibrated BEFORE EVERY interleaved sample pair:
     # host contention arrives in multi-minute waves here, so a single
@@ -469,6 +527,46 @@ def run_scaling(sf_dir: str) -> dict:
     }
 
 
+def _run_supervised(argv: list[str]) -> dict:
+    """Run the bench in a CHILD process; retry once on nonzero exit; if both
+    attempts die, salvage the last flushed partial result. A transient
+    raylet crash (BENCH_r03: rc=1, parsed null) can no longer void a round's
+    perf evidence — the parent always prints one JSON line and exits 0."""
+    os.makedirs("/tmp/dcray_bench", exist_ok=True)
+    partial_path = f"/tmp/dcray_bench/partial_{os.getpid()}.json"
+    env = dict(os.environ, BENCH_PARTIAL_PATH=partial_path)
+    attempts = 0
+    last_err = ""
+    for _ in range(2):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--child", *argv],
+            env=env, capture_output=True, text=True,
+        )
+        attempts += 1
+        if proc.returncode == 0:
+            sys.stderr.write(proc.stderr)
+            for line in reversed(proc.stdout.strip().splitlines()):
+                if line.startswith("{"):
+                    out = json.loads(line)
+                    out["bench_attempts"] = attempts
+                    return out
+        last_err = proc.stderr[-2000:]
+        sys.stderr.write(
+            f"bench child attempt {attempts} failed "
+            f"(rc={proc.returncode}); "
+            + ("retrying in a fresh process\n" if attempts == 1 else
+               "salvaging partial results\n"))
+    if os.path.exists(partial_path):
+        with open(partial_path) as f:
+            out = json.load(f)
+        out["partial"] = True
+        out["bench_attempts"] = attempts
+        out["note"] = "all attempts crashed; results up to the last flush"
+        out["last_stderr_tail"] = last_err[-800:]
+        return out
+    raise RuntimeError(f"bench crashed before the first flush:\n{last_err}")
+
+
 def main() -> None:
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
@@ -477,7 +575,13 @@ def main() -> None:
         return
     headline_only = os.environ.get("BENCH_HEADLINE_ONLY") == "1" or \
         "--headline-only" in sys.argv
-    print(json.dumps(run_bench(sf_dir, num_cpus, headline_only)))
+    if "--child" in sys.argv:
+        result = run_bench(sf_dir, num_cpus, headline_only)
+        result.pop("partial", None)
+        print(json.dumps(result))
+        return
+    print(json.dumps(_run_supervised(
+        [a for a in sys.argv[1:] if a != "--child"])))
 
 
 if __name__ == "__main__":
