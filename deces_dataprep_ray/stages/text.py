@@ -93,21 +93,76 @@ class LangId(Stage):
     text_col: str = "text"
     langs: tuple = ("de", "en", "es", "fr")
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = ["" if t is None else t for t in batch[self.text_col].to_pylist()]
-        preds, scores = [], []
-        for t in texts:
-            toks = [w for w in _WS_SPLIT.split(t.lower()) if w]
-            best_lang, best = "und", 0.0
-            for lang in self.langs:
+    def _tables(self):
+        """Stopword-union value set + (union+1, nlangs) membership matrix,
+        built once per actor (cached on the instance, not per batch)."""
+        if not hasattr(self, "_union"):
+            union = sorted(set().union(*(_STOP[lg] for lg in self.langs)))
+            memb = np.zeros((len(union) + 1, len(self.langs)), bool)
+            for li, lang in enumerate(self.langs):
                 sw = _STOP[lang]
-                s = (sum(1 for w in toks if w in sw) / len(toks)) if toks else 0.0
-                if s > best:
-                    best_lang, best = lang, s
-            preds.append(best_lang)
-            scores.append(best)
+                for ui, w in enumerate(union):
+                    memb[ui, li] = w in sw
+            self._union = pa.array(union, pa.string())
+            self._memb = memb
+        return self._union, self._memb
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n = len(batch)
+        col = pc.fill_null(batch[self.text_col].combine_chunks(), "")
+        # Arrow-native tokenize: lower + Unicode-whitespace split (same token
+        # stream as the old `\s+` regex split after the empty-string filter)
+        parts = pc.utf8_split_whitespace(pc.utf8_lower(col))
+        flat = pc.list_flatten(parts)
+        lens_all = pc.list_value_length(parts).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        # doc boundaries in the flat token stream — per-doc sums become
+        # cumsum diffs at these offsets (no np.repeat'd doc index, no
+        # bincount over a 1-per-token array)
+        offsets = np.zeros(n + 1, np.int64)
+        np.cumsum(lens_all, out=offsets[1:])
+
+        preds = np.full(n, "und", dtype=object)
+        best = np.zeros(n, np.float64)
+        if len(flat):
+            # one hash probe per token against the (tiny) stopword union —
+            # index_in returns the union position or null; the per-language
+            # membership matrix is precomputed once per actor. No per-doc /
+            # per-token Python loop, no full-vocab dictionary build.
+            union, memb = self._tables()
+            idx = pc.index_in(flat, value_set=union)
+            iu = idx.fill_null(len(union)).to_numpy(zero_copy_only=False)
+            csum = np.empty(len(iu) + 1, np.int64)
+            csum[0] = 0
+
+            def per_doc(tok_mask: np.ndarray) -> np.ndarray:
+                np.cumsum(tok_mask, out=csum[1:])
+                return (csum[offsets[1:]] - csum[offsets[:-1]]).astype(
+                    np.float64)
+
+            # the Arrow split emits '' at text edges; '' is never a stopword,
+            # so only the per-doc token count needs correcting — cheaper than
+            # filtering the whole 1-per-token stream
+            ntok = lens_all.astype(np.float64)
+            empties = pc.equal(flat, "")
+            if pc.any(empties).as_py():
+                ntok -= per_doc(
+                    empties.to_numpy(zero_copy_only=False))
+            tok_memb = memb[iu]  # (n_tokens, nlangs) bool gather
+            scores = np.zeros((len(self.langs), n), np.float64)
+            for li in range(len(self.langs)):
+                scores[li] = per_doc(tok_memb[:, li])
+            scores /= np.maximum(ntok, 1.0)
+            # argmax returns the FIRST max → ties break by self.langs order,
+            # exactly the old scalar loop's strict `s > best` rule
+            bi = np.argmax(scores, axis=0)
+            best = scores[bi, np.arange(n)]
+            langs_arr = np.array(self.langs, dtype=object)
+            preds = np.where(best > 0.0, langs_arr[bi], "und")
         batch = batch.append_column("lang_pred", pa.array(preds, pa.string()))
-        return batch.append_column("lang_score", pa.array(scores, pa.float64()))
+        return batch.append_column("lang_score", pa.array(best, pa.float64()))
 
 
 @dataclass
@@ -121,19 +176,25 @@ class Fingerprint(Stage):
     text_col: str = "text"
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from .dedup import _mix64, _tokenize_shingles
+        from .dedup import _mix64, _tokenize_shingles_batch
 
         texts = ["" if t is None else t for t in batch[self.text_col].to_pylist()]
         md5s = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
-        fps = np.empty(len(texts), np.uint64)
-        for i, t in enumerate(texts):
-            sh = _tokenize_shingles(t, 5)  # sorted unique uint64 hashes
-            mins = sh[:8]  # 8 smallest = the winnowing sketch
-            # position-salted mix then xor-fold (array ops only — numpy
-            # scalar arithmetic warns on intentional uint64 wraparound)
-            mixed = _mix64(mins + np.arange(len(mins), dtype=np.uint64))
-            acc = np.bitwise_xor.reduce(mixed) ^ np.uint64(len(mins))
-            fps[i] = _mix64(np.array([acc], np.uint64))[0]
+        n = len(texts)
+        fps = np.empty(n, np.uint64)
+        if n:
+            # batched shingle kernel: one sliding-window pass + one lexsort
+            # for the whole batch (the old per-doc _tokenize_shingles loop)
+            h_u, offs = _tokenize_shingles_batch(texts, 5)
+            m = np.minimum(offs[1:] - offs[:-1], 8)  # ≥1 per doc (padding)
+            cm = np.zeros(n + 1, np.int64)
+            np.cumsum(m, out=cm[1:])
+            within = np.arange(cm[-1], dtype=np.int64) - np.repeat(cm[:-1], m)
+            sel = within + np.repeat(offs[:-1], m)
+            # position-salted mix then one xor-fold per doc segment
+            mixed = _mix64(h_u[sel] + within.astype(np.uint64))
+            acc = np.bitwise_xor.reduceat(mixed, cm[:-1])
+            fps = _mix64(acc ^ m.astype(np.uint64))
         batch = batch.append_column("fp_md5", pa.array(md5s, pa.string()))
         return batch.append_column("fp_sketch", pa.array(fps, pa.uint64()))
 

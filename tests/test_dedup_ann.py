@@ -317,3 +317,55 @@ def test_ngram_pairs_match_bruteforce():
     got_pairs = {(int(r.id_a), int(r.id_b)): round(float(r.jaccard), 12)
                  for r in got.itertuples()}
     assert got_pairs == want
+
+
+def test_ngram_verify_paths_identical():
+    """Driver-side and distributed (hash_join) exact-jaccard verify return
+    the SAME pair set — forced by setting driver_max_pairs below the
+    candidate count so the second call takes the fallback."""
+    from deces_dataprep_ray.stages.dedup import ngram_jaccard_duplicates
+
+    kw = dict(threshold=0.5, num_hashes=32, num_bands=8)
+    fast = ngram_jaccard_duplicates(
+        _doc_ds(), driver_max_pairs=10**9, **kw).to_pandas()
+    dist = ngram_jaccard_duplicates(
+        _doc_ds(), driver_max_pairs=0, **kw).to_pandas()
+
+    def norm(df):
+        return {(int(a), int(b), round(float(j), 12))
+                for a, b, j in zip(df["id_a"], df["id_b"], df["jaccard"])}
+
+    assert len(fast) > 0            # the scenario actually produces pairs
+    assert norm(fast) == norm(dist)
+
+
+def test_embedding_bucketize_signature_built_once():
+    """EmbeddingBucketize must construct its LshSignature in __init__, not
+    per batch: count constructions via a monkeypatched LshSignature."""
+    from deces_dataprep_ray.stages import ann
+    from deces_dataprep_ray.stages.dedup import EmbeddingBucketize
+
+    calls = {"n": 0}
+    orig_init = ann.LshSignature.__init__
+
+    def counting_init(self, *a, **k):
+        calls["n"] += 1
+        orig_init(self, *a, **k)
+
+    ann.LshSignature.__init__ = counting_init
+    try:
+        st = EmbeddingBucketize(dim=4, nbits=4, seed=11,
+                                id_col="vec_id", vec_col="embedding")
+        rng = np.random.default_rng(0)
+        for _ in range(5):  # five batches, one signature
+            m = rng.standard_normal((6, 4)).astype(np.float32)
+            offs = pa.array(np.arange(0, 7 * 4, 4, dtype=np.int32), pa.int32())
+            batch = pa.table({
+                "vec_id": pa.array(np.arange(6), pa.int64()),
+                "embedding": pa.ListArray.from_arrays(
+                    offs, pa.array(m.reshape(-1), pa.float32())),
+            })
+            st(batch)
+    finally:
+        ann.LshSignature.__init__ = orig_init
+    assert calls["n"] == 1
