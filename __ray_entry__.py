@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh": dq.q_ann_lsh,
         "embed_dedup": dq.q_embed_dedup,
         # --- new this round (round 4) ---
+        "cross_fields": dq.q_cross_fields,
         # --- BM25 / fielded / agg band (driver-green in r03) ---
         "bm25_topk": dq.q_bm25_topk,
         "bm25_and": dq.q_bm25_and,
@@ -638,6 +639,56 @@ def oracle_sql() -> dict[str, str]:
                 FROM tscore t FULL OUTER JOIN sscore s2
                      ON t.doc_id = s2.doc_id)
             SELECT doc_id, round(score, 6) AS score FROM combined
+            ORDER BY round(score, 6) DESC, doc_id LIMIT 10
+        """,
+        # cross_fields: blended df = greatest(df_body, df_head), virtual-
+        # field docCount N = greatest(n_body, n_head); per (doc, term) the
+        # weight is the BEST field's tf-norm (fields keep their own avgdl);
+        # head = the text's first 8 tokens (DuckDB list slice is 1-based
+        # inclusive, so t[1:8] == python tokens[:8])
+        "cross_fields": f"""
+            WITH toklist AS (SELECT doc_id, {tok} AS t FROM documents),
+            body AS (SELECT doc_id, unnest(t) AS term FROM toklist),
+            hd AS (SELECT doc_id, unnest(t[1:8]) AS term FROM toklist),
+            btf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf
+                    FROM body GROUP BY 1, 2),
+            bdl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM body GROUP BY 1),
+            bst AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM bdl),
+            htf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf
+                    FROM hd GROUP BY 1, 2),
+            hdl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM hd GROUP BY 1),
+            hst AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM hdl),
+            qterms(term) AS (VALUES ('data'), ('spark'), ('window')),
+            bdf AS (SELECT term, count(*)::DOUBLE AS df
+                    FROM btf JOIN qterms USING (term) GROUP BY term),
+            hdf AS (SELECT term, count(*)::DOUBLE AS df
+                    FROM htf JOIN qterms USING (term) GROUP BY term),
+            dfb AS (SELECT q.term,
+                           greatest(coalesce(b.df, 0), coalesce(h.df, 0)) AS df
+                    FROM qterms q
+                    LEFT JOIN bdf b ON q.term = b.term
+                    LEFT JOIN hdf h ON q.term = h.term
+                    WHERE coalesce(b.df, 0) + coalesce(h.df, 0) > 0),
+            nn AS (SELECT greatest(bst.n, hst.n) AS n FROM bst, hst),
+            wb AS (SELECT f.doc_id, f.term,
+                          f.tf / (f.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / s.avgdl)) AS w
+                   FROM btf f JOIN qterms USING (term)
+                        JOIN bdl d ON f.doc_id = d.doc_id CROSS JOIN bst s),
+            wh AS (SELECT f.doc_id, f.term,
+                          f.tf / (f.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / s.avgdl)) AS w
+                   FROM htf f JOIN qterms USING (term)
+                        JOIN hdl d ON f.doc_id = d.doc_id CROSS JOIN hst s),
+            wmax AS (SELECT coalesce(wb.doc_id, wh.doc_id) AS doc_id,
+                            coalesce(wb.term, wh.term) AS term,
+                            greatest(coalesce(wb.w, 0), coalesce(wh.w, 0)) AS w
+                     FROM wb FULL OUTER JOIN wh
+                          ON wb.doc_id = wh.doc_id AND wb.term = wh.term),
+            scores AS (SELECT w.doc_id,
+                              sum(ln(1 + (nn.n - dfb.df + 0.5) / (dfb.df + 0.5))
+                                  * w.w) AS score
+                       FROM wmax w JOIN dfb USING (term) CROSS JOIN nn
+                       GROUP BY w.doc_id)
+            SELECT doc_id, round(score, 6) AS score FROM scores
             ORDER BY round(score, 6) DESC, doc_id LIMIT 10
         """,
         "keyword_must_not": f"""

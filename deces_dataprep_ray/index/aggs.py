@@ -243,6 +243,16 @@ def significant_terms(
                          "n": pc.cast(vc.field("counts"), pa.int64())})
 
     analyzed = os.path.join(reader.index_dir, "analyzed")
+    if not os.path.isdir(analyzed):
+        # compact_generations rebuilds postings/termstats/docvalues but not
+        # the per-doc `analyzed` term-vector checkpoint this aggregation
+        # scans — mirror compact.py's dl-bearing-docvalues guard with a
+        # clear error instead of a raw read_parquet failure
+        raise FileNotFoundError(
+            f"significant_terms needs the 'analyzed' checkpoint, absent at "
+            f"{analyzed!r} (compacted indexes don't carry it — run the "
+            f"aggregation against the source generations' own index dirs, "
+            f"or rebuild the index from documents)")
     parts = rd.read_parquet(analyzed, columns=["doc_id", "terms"]) \
         .map_batches(partial, batch_format="pyarrow").take_all()
     fg_df: Counter = Counter()

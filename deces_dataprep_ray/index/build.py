@@ -39,6 +39,7 @@ from __future__ import annotations
 import functools
 import hashlib
 import io
+import logging
 import os
 import shutil
 import time
@@ -67,6 +68,8 @@ from ..state.manifest import (
     bucket_dir,
     done_buckets,
 )
+
+logger = logging.getLogger(__name__)
 
 ANALYZER_VERSION = "norm-v2"  # bump when analysis.py changes semantics
 
@@ -792,7 +795,8 @@ def build_bucket(
 
 
 def derive_termstats(index_dir: str, num_buckets: int, heads: list[str],
-                     termstats_dir: str) -> int:
+                     termstats_dir: str,
+                     warn_df: int | None = None) -> int:
     """Derive the exact term dictionary from the written bucket files.
 
     A non-head term lives in exactly ONE bucket with ONE (seg=0) row, so its
@@ -841,6 +845,24 @@ def derive_termstats(index_dir: str, num_buckets: int, heads: list[str],
                       "df": pa.array(agg["df"], pa.int64())}),
             os.path.join(tmp_dir, "head_terms.parquet"))
     os.replace(tmp_dir, termstats_dir)
+    if warn_df is not None and bucket_paths:
+        # backstop for the sampled head detection: a true head term missed
+        # by the sample stays unsalted (one bucket group carries its full
+        # posting list) — correctness holds, but surface the skew loudly
+        flt = pc.field("df") >= int(warn_df)
+        if heads:
+            flt = flt & ~pc.field("term").isin(heads)
+        missed = pa_dataset.dataset(termstats_dir).to_table(
+            columns=["term", "df"], filter=flt)
+        if missed.num_rows:
+            worst = sorted(zip(missed["term"].to_pylist(),
+                               missed["df"].to_numpy().tolist()),
+                           key=lambda kv: -kv[1])[:5]
+            logger.warning(
+                "derive_termstats: %d non-head term(s) with df >= %d were "
+                "NOT salted (sampled head detection missed them; their "
+                "postings each sit in one reducer group): %s",
+                missed.num_rows, int(warn_df), worst)
     return sum(
         pq.read_metadata(os.path.join(termstats_dir, f)).num_rows
         for f in os.listdir(termstats_dir)
@@ -1101,7 +1123,18 @@ def build_index(
             min_df = max(64, int(stats["n_docs"] * head_df_ratio))
         files = sorted(f for f in os.listdir(analyzed_dir)
                        if f.endswith(".parquet"))
-        sample = files[::10] or files
+        # hash-picked ~10% sample, NOT a stride: analyzed files are written
+        # in input order, and time-ordered corpora make files[::10] a biased
+        # sample (a head term bursty in one era could miss every 10th file).
+        # The pick hashes the file POSITION salted by the input tag — file
+        # NAMES carry a per-run uuid and would break byte-identical resume
+        # (sorted order is stable across runs; names are not)
+        salt = str(man.doc.get("config", {}).get("input_tag", ""))
+        sample = [f for i, f in enumerate(files)
+                  if int.from_bytes(hashlib.blake2b(
+                      f"{salt}:{i}".encode(), digest_size=4).digest(),
+                      "big") % 10 == 0]
+        sample = sample or files
         sample_paths = [os.path.join(analyzed_dir, f) for f in sample]
         sample_rows = sum(pq.read_metadata(p).num_rows for p in sample_paths)
         frac = (sample_rows / stats["n_docs"]) if stats["n_docs"] else 1.0
@@ -1206,8 +1239,10 @@ def build_index(
     # rows needing a cross-bucket sum — merged driver-side from a
     # predicate-pushdown read.
     if not man.phase_done("termstats"):
+        head_min = man.phase("head_terms").get("min_df") or 0
         n_terms = derive_termstats(index_dir, num_buckets, heads,
-                                   termstats_dir)
+                                   termstats_dir,
+                                   warn_df=(2 * head_min) if head_min else None)
         man.mark_done("termstats", dir="termstats", n_terms=int(n_terms),
                       seconds=_took())
 

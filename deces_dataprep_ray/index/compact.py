@@ -510,8 +510,12 @@ def compact_generations(
                 def drop(t: pa.Table, _ref=excl_ref) -> pa.Table:
                     e = ray.get(_ref)
                     ids = t["doc_id"].to_numpy().astype(np.uint64)
-                    return t.filter(pa.array(
-                        ~np.isin(ids, e, assume_unique=True)))
+                    # no assume_unique on ids: if a doc ever violated the
+                    # disjoint-generation contract and appeared twice in one
+                    # store, assume_unique would yield undefined masks —
+                    # the exact-match cost difference is negligible next to
+                    # the parquet read (exclusions are np.unique'd upstream)
+                    return t.filter(pa.array(~np.isin(ids, e)))
 
                 ds = ds.map_batches(drop, batch_format="pyarrow")
             gen_ds.append(ds)

@@ -338,6 +338,81 @@ def search_dis_max(
     return _topk_from_scores(union[live], scores[live], k)
 
 
+def search_cross_fields(
+    reader: IndexReader,
+    fields: list[str],
+    query: str,
+    k: int = 10,
+    filters: list | None = None,
+) -> list[tuple[int, float]]:
+    """ES ``multi_match type=cross_fields``: the fields are scored as ONE
+    virtual field — term-centric, not field-centric. Frozen semantics
+    (mirrored by the SQL oracle; ES's BlendedTermQuery is the model):
+
+    - per term, the df is BLENDED across fields: df_t = max_f df_f(t), and
+      the idf uses the virtual field's docCount N = max_f docCount(f) —
+      a term common in ANY field is cheap in the virtual field, which is
+      the cross_fields fix for the best_fields "rare in one field" trap;
+    - per doc, the term's tf-weight is the BEST per-field weight (each
+      field's tf against its own length norm — Lucene keeps per-field
+      norms inside the blend): contribution = idf_blend · max_f w_f;
+    - a doc's score sums its term contributions; same filter context and
+      (score desc, doc_id asc) order as every scorer here.
+
+    Unlike ``search_fields`` (bool-should sum == most_fields) and
+    ``search_dis_max`` (best_fields), a term matching in BOTH fields
+    counts once with its best weight — not twice."""
+    from ..functions.analysis import tokenize
+
+    stats = [(f, reader.field_stats.get(f)) for f in sorted(fields)]
+    stats = [(f, s) for f, s in stats if s is not None]
+    if not stats:
+        return []
+    n_blend = max(int(s["n_docs"]) for _, s in stats)
+
+    # gather per-term, per-field postings; blend df and idf per term
+    per_term: list[tuple[float, list[tuple]]] = []
+    for tok in sorted(set(tokenize(query))):
+        flds = []
+        df_blend = 0
+        for f, s in stats:
+            docs, tfs, dls = reader.postings(f"{f}:{tok}")
+            if len(docs):
+                avgdl_f = float(s["avgdl"]) or 1.0
+                flds.append((docs, tfs, dls, avgdl_f))
+                df_blend = max(df_blend, len(docs))
+        if flds:
+            per_term.append((idf(n_blend, df_blend), flds))
+    if not per_term:
+        return []
+    union = np.unique(np.concatenate(
+        [docs for _, flds in per_term for docs, _, _, _ in flds]))
+
+    allow, exclude = _resolve_filters(reader, filters)
+    mask = _filter_mask(union, allow, exclude)
+    if mask is not None:
+        union = union[mask]
+        if not len(union):
+            return []
+
+    scores = np.zeros(len(union), np.float64)
+    for idf_t, flds in per_term:
+        best = np.zeros(len(union), np.float64)  # max_f w_f per doc
+        for docs, tfs, dls, avgdl_f in flds:
+            pos = np.searchsorted(union, docs)
+            ok = pos < len(union)
+            hit = union[pos[ok]] == docs[ok]
+            sel = np.flatnonzero(ok)[hit]
+            if not len(sel):
+                continue
+            w = bm25_weight(tfs[sel], dls[sel], avgdl_f,
+                            reader.k1, reader.b)
+            np.maximum.at(best, pos[sel], w)
+        scores += idf_t * best
+    live = scores > 0.0
+    return _topk_from_scores(union[live], scores[live], k)
+
+
 def search_fields_pruned(
     reader: IndexReader,
     matches: list[tuple[str, str]],
@@ -605,8 +680,10 @@ def collapse_topk(reader: IndexReader, query: str | None,
     row-group-pruned docstore in chunks, stopping as soon as k distinct
     keys have a winner — only the ranked PREFIX needed to fill k groups is
     ever looked up, never the whole match set (ES collapses per-shard
-    top-groups the same way). Query context: ``query`` (unfielded) or
-    ``matches`` (fielded bool clauses). Returns [(doc_id, score, key)]."""
+    top-groups the same way). Docs missing the collapse field form ONE null
+    bucket competing like any key (ES semantics), reported with key None.
+    Query context: ``query`` (unfielded) or ``matches`` (fielded bool
+    clauses). Returns [(doc_id, score, key)]."""
     union, scores = _matched_union(reader, query, matches, filters)
     if not len(union):
         return []
@@ -621,9 +698,13 @@ def collapse_topk(reader: IndexReader, query: str | None,
         for i in idx:
             d = int(union[i])
             key = keys.get(d)
-            if key is None or key in best:
+            # ES groups docs MISSING the collapse field into one null
+            # bucket (they compete for a single slot like any other key)
+            # rather than dropping them from the ranking
+            gk = ("__collapse_null__",) if key is None else key
+            if gk in best:
                 continue
-            best[key] = True
+            best[gk] = True
             out.append((d, float(scores[i]), key))
             if len(out) >= k:
                 return out

@@ -41,10 +41,14 @@ class MultiReader:
     (``tombstone_docs``): generation i serves a doc unless generation i or
     a LATER one tombstoned it — the ES/Lucene live-docs rule. An update
     re-adds the doc in a new generation and tombstones the previous
-    newest. Corpus stats (N, avgdl, df) stay UNADJUSTED until
-    compaction, matching Lucene (deleted docs smear idf until a merge);
-    ``compact_generations`` drops tombstoned postings and subtracts their
-    exact stats contribution."""
+    newest. Stats contract while tombstones are live (matching Lucene,
+    where deleted docs smear scores until a merge): the CORPUS stats N and
+    avgdl stay unadjusted, but per-term df IS live — ``postings`` filters
+    tombstoned docs and the exhaustive scorer derives idf from the filtered
+    posting length, so ``df()`` returns the live-doc count too (never the
+    raw per-generation sum). ``compact_generations`` drops tombstoned
+    postings and subtracts their exact stats contribution, after which N
+    and avgdl are exact again."""
 
     def __init__(self, index_dirs: list[str]):
         assert index_dirs
@@ -96,7 +100,13 @@ class MultiReader:
         return out
 
     def df(self, term: str) -> int:
-        return sum(r.df(term) for r in self.readers)
+        """LIVE-doc document frequency — consistent with what the scorers
+        use: tombstoned docs are excluded (the cached filtered union), so
+        df == len(postings(term)[0]) always. Without tombstones this equals
+        the cheap per-generation sum (disjoint doc sets)."""
+        if not self.has_tombstones:
+            return sum(r.df(term) for r in self.readers)
+        return len(self.postings(term)[0])
 
     def term_segments(self, term: str) -> tuple[dict, ...]:
         """Every generation's encoded segments for ``term``, with block-max

@@ -24,9 +24,36 @@ from .query import search as _search
 @ray.remote
 class _QueryWorker:
     def __init__(self, index_dir: str):
+        from .alias import resolve_alias
         from .reader import IndexReader
 
-        self.reader = IndexReader(index_dir)
+        # the pool can be pointed at an ALIAS (blue/green deploys): each
+        # worker remembers the unresolved path and re-resolves on refresh()
+        self._path = index_dir
+        self._resolved = resolve_alias(index_dir)
+        self.reader = IndexReader(self._resolved)
+
+    def refresh(self) -> bool:
+        """Re-resolve the alias; reopen the reader iff the target moved
+        (ES searcher-refresh semantics — no actor restart). Returns whether
+        the worker switched generations."""
+        from .alias import resolve_alias
+        from .reader import IndexReader
+
+        target = resolve_alias(self._path)
+        if target == self._resolved:
+            return False
+        self._resolved = target
+        self.reader = IndexReader(target)
+        return True
+
+    def resolved_dir(self) -> str:
+        return self._resolved
+
+    def explain(self, query: str, doc_id: int):
+        from .query import explain as _explain
+
+        return _explain(self.reader, query, doc_id)
 
     def search(self, query: str, k: int = 10, algorithm: str = "auto"):
         return _search(self.reader, query, k, algorithm=algorithm)
@@ -105,6 +132,9 @@ class _QueryWorker:
                 self.reader, r["matches"], r.get("k", 10),
                 tie_breaker=r.get("tie_breaker", 0.0),
                 filters=r.get("filters")),
+            "cross_fields": lambda r: F.search_cross_fields(
+                self.reader, r["fields"], r["query"], r.get("k", 10),
+                filters=r.get("filters")),
         }
         out = []
         for req in requests:
@@ -150,7 +180,9 @@ class _QueryWorker:
 
 
 class QueryService:
-    """Round-robin pool of query actors over one index directory."""
+    """Round-robin pool of query actors over one index directory — or an
+    ALIAS (``alias.set_alias`` pointer): ``refresh()`` makes every worker
+    re-resolve and reopen on a moved target without restarting the pool."""
 
     def __init__(self, index_dir: str, num_workers: int = 4,
                  num_cpus_per_worker: float = 1.0):
@@ -163,6 +195,20 @@ class QueryService:
     def search(self, query: str, k: int = 10, algorithm: str = "auto"):
         """Single query (blocking)."""
         return ray.get(next(self._rr).search.remote(query, k, algorithm))
+
+    def explain(self, query: str, doc_id: int):
+        """ES ``_explain``: the per-(field, term) BM25 decomposition of one
+        doc's score for ``query``, served from the pool."""
+        return ray.get(next(self._rr).explain.remote(query, doc_id))
+
+    def refresh(self) -> int:
+        """Make every worker re-resolve its alias (no-op on a plain index
+        dir); returns how many workers switched index generations."""
+        return sum(ray.get([w.refresh.remote() for w in self.workers]))
+
+    def resolved_dirs(self) -> list[str]:
+        """Each worker's currently served concrete index directory."""
+        return ray.get([w.resolved_dir.remote() for w in self.workers])
 
     def search_fields(self, matches, k: int = 10, filters=None,
                       algorithm: str = "exact"):

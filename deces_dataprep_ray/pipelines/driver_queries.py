@@ -1451,3 +1451,54 @@ def q_decay_score(sf_dir: str) -> pd.DataFrame:
                       offset=10.0, decay=0.5, shape="gauss", k=200,
                       matches=[("text", "data spark window")])
     return _fielded_topk(reader, res)
+
+
+# --- cross_fields: blended-df multi_match over a two-text-field index ------
+
+def _crossfields_index_for(sf_dir: str) -> str:
+    """Fielded index with TWO analyzed text fields sharing vocabulary —
+    ``body`` = full text, ``head`` = its first 8 tokens — so the
+    cross_fields df blend (max df across fields) and the per-doc best-field
+    tf weight are both exercised by real overlap (every head term also has
+    body postings with a different df)."""
+    from ..index.build import build_index
+
+    doc_path = os.path.join(sf_dir, "documents.parquet")
+    tag = hashlib.sha256(
+        f"xfld1:{doc_path}:{os.path.getsize(doc_path)}".encode()
+    ).hexdigest()[:12]
+    index_dir = os.path.join("/tmp", "dcray_index_cache", "xf_" + tag)
+
+    def derive(t: pa.Table) -> pa.Table:
+        texts = ["" if x is None else x for x in t["text"].to_pylist()]
+        heads = [" ".join(x.split()[:8]) for x in texts]
+        urls = [f"doc://{d}" for d in t["doc_id"].to_pylist()]
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "text": t["text"],
+            "head_text": pa.array(heads, pa.string()),
+            "url": pa.array(urls, pa.string()),
+        })
+
+    ds = rd.read_parquet(doc_path, columns=["doc_id", "text"]).map_batches(
+        derive, batch_format="pyarrow")
+    build_index(ds, index_dir,
+                fields={"body": "text", "head": "head_text"},
+                num_buckets=8, salt_shards=4, head_min_df=64,
+                input_tag=tag, batch_size=1024)
+    return index_dir
+
+
+def q_cross_fields(sf_dir: str) -> pd.DataFrame:
+    """multi_match type=cross_fields over (body, head): per term the df
+    blends as max(df_body, df_head) with N = max field docCount; per doc the
+    term weight is the best per-field tf-norm weight (fields keep their own
+    avgdl). Terms matching both fields count ONCE — the semantics the SQL
+    oracle mirrors with greatest() blends."""
+    from ..index.fielded import search_cross_fields
+    from ..index.reader import IndexReader
+
+    reader = IndexReader(_crossfields_index_for(sf_dir))
+    res = search_cross_fields(reader, ["body", "head"],
+                              "data spark window", k=200)
+    return _fielded_topk(reader, res)

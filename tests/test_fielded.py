@@ -441,3 +441,46 @@ def test_exists_filter(tmp_path):
                   and not pd.isna(df["opt"][i]))
     _cmp(got, want)
     assert got, "fixture should produce hits"
+
+
+def test_cross_fields_matches_bruteforce(fielded_corpus, fielded_index):
+    """cross_fields semantics vs an independent brute force: blended df =
+    max over fields, N = max field docCount, per-doc weight = best field's
+    tf-norm — a term in BOTH fields must count once, not twice."""
+    from deces_dataprep_ray.functions.analysis import tokenize
+    from deces_dataprep_ray.index.fielded import search_cross_fields
+
+    df, _ = fielded_corpus
+    r = IndexReader(fielded_index)
+    query = "data spark window"
+
+    cols = {"body": "body", "title": "title"}
+    toks = {f: [tokenize(str(t)) for t in df[c]] for f, c in cols.items()}
+    dls = {f: [len(t) for t in toks[f]] for f in toks}
+    nf = {f: sum(1 for d in dls[f] if d > 0) for f in toks}
+    avg = {f: (sum(dls[f]) / nf[f]) if nf[f] else 1.0 for f in toks}
+    dids = [doc_id_from_url(u) for u in df["url"]]
+    n_blend = max(nf.values())
+    scores: dict[int, float] = {}
+    for term in sorted(set(tokenize(query))):
+        dfs = {f: sum(1 for t in toks[f] if term in t) for f in toks}
+        if max(dfs.values()) == 0:
+            continue
+        widf = idf(n_blend, max(dfs.values()))
+        for i in range(len(df)):
+            best = 0.0
+            for f in toks:
+                tf = toks[f][i].count(term)
+                if tf:
+                    w = tf / (tf + 1.2 * (1 - 0.75
+                                          + 0.75 * dls[f][i] / avg[f]))
+                    best = max(best, w)
+            if best > 0.0:
+                scores[dids[i]] = scores.get(dids[i], 0.0) + widf * best
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+
+    got = search_cross_fields(r, ["body", "title"], query, k=10)
+    _cmp(got, want)
+    # sanity: differs from the bool-should sum on a both-fields term
+    summed = search_fields(r, [("body", query), ("title", query)], k=10)
+    assert got != summed

@@ -116,3 +116,60 @@ def test_service_search_after_and_highlight(tmp_path):
             assert snip
     finally:
         svc.shutdown()
+
+
+def test_service_explain_over_pool(built_index):
+    from deces_dataprep_ray.index.query import explain, search_pruned
+
+    idx, _ = built_index
+    local = IndexReader(idx)
+    svc = QueryService(idx, num_workers=2)
+    try:
+        top = search_pruned(local, "term1 term2", 3)
+        assert top
+        doc, score = top[0]
+        exp = svc.explain("term1 term2", doc)
+        assert exp == explain(local, "term1 term2", doc)
+        assert abs(exp["score"] - score) < 1e-9
+        assert exp["matched"] and exp["terms"]
+    finally:
+        svc.shutdown()
+
+
+def test_service_alias_swap_without_restart(tmp_path):
+    import pandas as pd
+
+    from deces_dataprep_ray.index.alias import set_alias
+    from deces_dataprep_ray.index.build import build_index
+
+    def mk(name, word):
+        df = pd.DataFrame({
+            "url": [f"doc://{i}" for i in range(12)],
+            "text": [f"{word} common filler" for _ in range(12)],
+        })
+        src = str(tmp_path / f"{name}.parquet")
+        df.to_parquet(src)
+        idx = str(tmp_path / name)
+        build_index(src, idx, num_buckets=2, salt_shards=2,
+                    head_min_df=1000, batch_size=8)
+        return idx
+
+    blue, green = mk("blue", "alpha"), mk("green", "beta")
+    aliases = str(tmp_path / "aliases")
+    set_alias(aliases, "live", blue)
+    svc = QueryService(str(tmp_path / "aliases" / "live"), num_workers=2)
+    try:
+        assert len(svc.search("alpha", 5)) == 5      # blue serves alpha
+        assert len(svc.search("beta", 5)) == 0
+        workers_before = list(svc.workers)
+        set_alias(aliases, "live", green)            # atomic cutover
+        assert svc.search("beta", 5) == []           # not yet refreshed
+        switched = svc.refresh()
+        assert switched == 2                         # both workers moved
+        assert svc.workers == workers_before         # same actors, no restart
+        assert len(svc.search("beta", 5)) == 5       # green serves beta
+        assert len(svc.search("alpha", 5)) == 0
+        assert all(d.endswith("green") for d in svc.resolved_dirs())
+        assert svc.refresh() == 0                    # idempotent
+    finally:
+        svc.shutdown()

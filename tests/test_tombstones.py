@@ -162,3 +162,34 @@ def test_compaction_tag_changes_with_tombstones(gens, tmp_path):
     out1 = str(tmp_path / "c1")
     man1 = compact_generations([idx0, idx1], out1)
     assert "tomb:" in man1.doc["config"]["input_tag"]
+
+
+def test_significant_terms_clear_error_on_compacted(gens, tmp_path):
+    """compact_generations doesn't produce the `analyzed` checkpoint; the
+    aggregation must fail with a clear FileNotFoundError, not a raw
+    read_parquet crash."""
+    import pytest
+
+    from deces_dataprep_ray.index.aggs import significant_terms
+    from deces_dataprep_ray.index.fielded import RangeFilter
+    from deces_dataprep_ray.index.reader import IndexReader
+
+    _, _, _, idx0, idx1, _ = gens
+    out = str(tmp_path / "cmp_st")
+    compact_generations([idx0, idx1], out)
+    with pytest.raises(FileNotFoundError, match="analyzed"):
+        significant_terms(IndexReader(out),
+                          [RangeFilter("dl", 1, 10**9)])
+
+
+def test_multireader_df_is_live_doc_df(gens):
+    """df() must agree with what the scorers use: the tombstone-filtered
+    postings length, not the raw per-generation sum."""
+    from deces_dataprep_ray.index.multi import MultiReader
+
+    _, _, _, idx0, idx1, _ = gens
+    mr = MultiReader([idx0, idx1])
+    assert mr.has_tombstones
+    for term in ("data", "spark", "window"):
+        docs, _, _ = mr.postings(term)
+        assert mr.df(term) == len(docs)
