@@ -82,6 +82,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_dedup": dq.q_embed_dedup,
         # --- new this round (round 4) ---
         "cross_fields": dq.q_cross_fields,
+        "span_near": dq.q_span_near,
+        "boosting": dq.q_boosting,
+        "bool_prefix": dq.q_bool_prefix,
+        "constant_score": dq.q_constant_score,
+        "query_string": dq.q_query_string,
+        "top_hits_agg": dq.q_top_hits_agg,
+        "avg_bucket": dq.q_avg_bucket,
+        "hash_split": dq.q_hash_split,
+        "pack_sequences": dq.q_pack_sequences,
+        "dup_components": dq.q_dup_components,
         # --- BM25 / fielded / agg band (driver-green in r03) ---
         "bm25_topk": dq.q_bm25_topk,
         "bm25_and": dq.q_bm25_and,
@@ -640,6 +650,217 @@ def oracle_sql() -> dict[str, str]:
                      ON t.doc_id = s2.doc_id)
             SELECT doc_id, round(score, 6) AS score FROM combined
             ORDER BY round(score, 6) DESC, doc_id LIMIT 10
+        """,
+        # span_near unordered: 'data' and 'window' within (max−min)−1 ≤ 3
+        # positions, any order; score = OR BM25 of the two terms
+        "span_near": f"""
+            WITH tokpos AS (
+                SELECT d.doc_id, u.term, u.pos
+                FROM documents d,
+                LATERAL (
+                    SELECT unnest({tok}) AS term,
+                           generate_subscripts({tok}, 1) AS pos
+                ) u
+            ),
+            near_docs AS (
+                SELECT DISTINCT p0.doc_id
+                FROM tokpos p0 JOIN tokpos p1 ON p0.doc_id = p1.doc_id
+                WHERE p0.term = 'data' AND p1.term = 'window'
+                  AND abs(p1.pos - p0.pos) <= 4
+            ),
+            tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf
+                   FROM tokpos GROUP BY 1, 2),
+            dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tokpos GROUP BY 1),
+            stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+            qterms(term) AS (VALUES ('data'), ('window')),
+            df AS (SELECT tf.term, count(*)::DOUBLE AS df
+                   FROM tf JOIN qterms USING (term) GROUP BY tf.term),
+            scores AS (
+                SELECT tf.doc_id,
+                       sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                            * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
+                       ) AS score
+                FROM tf JOIN df ON tf.term = df.term
+                        JOIN dl ON tf.doc_id = dl.doc_id
+                        CROSS JOIN stats s
+                GROUP BY tf.doc_id)
+            SELECT sc.doc_id, round(sc.score, 6) AS score
+            FROM scores sc JOIN near_docs nd ON sc.doc_id = nd.doc_id
+            ORDER BY round(sc.score, 6) DESC, sc.doc_id LIMIT 10
+        """,
+        # boosting: positive BM25, docs holding 'key' demoted to 0.5x
+        "boosting": f"""
+            WITH tok AS (
+                SELECT doc_id, unnest({tok}) AS term FROM documents
+            ),
+            tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+            dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+            stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+            qterms(term) AS (VALUES ('data'), ('spark'), ('window')),
+            df AS (SELECT tf.term, count(*)::DOUBLE AS df
+                   FROM tf JOIN qterms USING (term) GROUP BY tf.term),
+            scores AS (
+                SELECT tf.doc_id,
+                       sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                            * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
+                       ) AS score
+                FROM tf JOIN df ON tf.term = df.term
+                        JOIN dl ON tf.doc_id = dl.doc_id
+                        CROSS JOIN stats s
+                GROUP BY tf.doc_id),
+            neg AS (SELECT DISTINCT doc_id FROM tok WHERE term = 'key')
+            SELECT doc_id,
+                   round(CASE WHEN doc_id IN (SELECT doc_id FROM neg)
+                              THEN score * 0.5 ELSE score END, 6) AS score
+            FROM scores
+            ORDER BY round(CASE WHEN doc_id IN (SELECT doc_id FROM neg)
+                                THEN score * 0.5 ELSE score END, 6) DESC,
+                     doc_id
+            LIMIT 10
+        """,
+        # match_bool_prefix: full terms BM25 + constant 1.0 for any 'win%'
+        "bool_prefix": f"""
+            WITH tok AS (
+                SELECT doc_id, unnest({tok}) AS term FROM documents
+            ),
+            tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2),
+            dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1),
+            stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+            qterms(term) AS (VALUES ('data'), ('spark')),
+            df AS (SELECT tf.term, count(*)::DOUBLE AS df
+                   FROM tf JOIN qterms USING (term) GROUP BY tf.term),
+            base AS (
+                SELECT tf.doc_id,
+                       sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                            * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
+                       ) AS score
+                FROM tf JOIN df ON tf.term = df.term
+                        JOIN dl ON tf.doc_id = dl.doc_id
+                        CROSS JOIN stats s
+                GROUP BY tf.doc_id),
+            pdocs AS (SELECT DISTINCT doc_id FROM tok WHERE term LIKE 'win%'),
+            combined AS (
+                SELECT COALESCE(b.doc_id, p.doc_id) AS doc_id,
+                       COALESCE(b.score, 0)
+                       + CASE WHEN p.doc_id IS NULL THEN 0.0 ELSE 1.0 END
+                       AS score
+                FROM base b FULL OUTER JOIN pdocs p ON b.doc_id = p.doc_id)
+            SELECT doc_id, round(score, 6) AS score FROM combined
+            WHERE score > 0
+            ORDER BY round(score, 6) DESC, doc_id LIMIT 10
+        """,
+        "constant_score": """
+            SELECT doc_id, 1.5 AS score FROM documents
+            WHERE lang = 'en' AND n_chars BETWEEN 100 AND 300
+            ORDER BY doc_id
+        """,
+        # query_string '"data spark" window -key': phrase must + should
+        # terms − must_not term, scored as OR BM25 of the 3 positive terms
+        "query_string": f"""
+            WITH tokpos AS (
+                SELECT d.doc_id, u.term, u.pos
+                FROM documents d,
+                LATERAL (
+                    SELECT unnest({tok}) AS term,
+                           generate_subscripts({tok}, 1) AS pos
+                ) u
+            ),
+            phrase_docs AS (
+                SELECT DISTINCT p0.doc_id
+                FROM tokpos p0 JOIN tokpos p1
+                  ON p0.doc_id = p1.doc_id AND p1.pos = p0.pos + 1
+                WHERE p0.term = 'data' AND p1.term = 'spark'
+            ),
+            tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf
+                   FROM tokpos GROUP BY 1, 2),
+            dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tokpos GROUP BY 1),
+            stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+            qterms(term) AS (VALUES ('data'), ('spark'), ('window')),
+            df AS (SELECT tf.term, count(*)::DOUBLE AS df
+                   FROM tf JOIN qterms USING (term) GROUP BY tf.term),
+            scores AS (
+                SELECT tf.doc_id,
+                       sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                            * tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl))
+                       ) AS score
+                FROM tf JOIN df ON tf.term = df.term
+                        JOIN dl ON tf.doc_id = dl.doc_id
+                        CROSS JOIN stats s
+                GROUP BY tf.doc_id)
+            SELECT sc.doc_id, round(sc.score, 6) AS score
+            FROM scores sc
+            JOIN phrase_docs p ON sc.doc_id = p.doc_id
+            WHERE sc.doc_id NOT IN
+                  (SELECT DISTINCT doc_id FROM tokpos WHERE term = 'key')
+            ORDER BY round(sc.score, 6) DESC, sc.doc_id LIMIT 10
+        """,
+        # top_hits: per lang the 3 largest-n_chars docs, tie-break by the
+        # url string order (engine tie_column="url")
+        "top_hits_agg": """
+            SELECT lang, doc_id, n_chars FROM (
+                SELECT lang, doc_id, n_chars,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY n_chars DESC,
+                                    'doc://' || CAST(doc_id AS VARCHAR)
+                       ) AS rn
+                FROM documents) WHERE rn <= 3
+            ORDER BY lang, doc_id
+        """,
+        "avg_bucket": """
+            SELECT round(avg(a), 6) AS avg_bucket,
+                   count(*)::BIGINT AS n_buckets
+            FROM (SELECT avg(n_chars) AS a FROM documents GROUP BY lang)
+        """,
+        "hash_split": f"""
+            SELECT doc_id,
+                   CASE WHEN h <= '{format(min(int(0.8 * (1 << 32)), (1 << 32) - 1), "08x")}' THEN 'train'
+                        WHEN h <= '{format(min(int(0.9 * (1 << 32)), (1 << 32) - 1), "08x")}' THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id,
+                         substr(md5('s1' || CAST(doc_id AS VARCHAR)), 1, 8)
+                         AS h
+                  FROM documents)
+            ORDER BY doc_id
+        """,
+        "pack_sequences": f"""
+            WITH n AS (SELECT doc_id, len({tok})::BIGINT AS n_tokens
+                       FROM documents)
+            SELECT doc_id, n_tokens,
+                   CAST(floor(coalesce(sum(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) / 500.0) AS BIGINT) AS bin
+            FROM n ORDER BY doc_id
+        """,
+        # connected components over the exact ngram near-dup pair graph:
+        # component = min doc_id reachable (recursive transitive closure)
+        "dup_components": """
+            WITH RECURSIVE g AS (
+              SELECT doc_id,
+                     list_distinct([substring(text, i, 5)
+                         for i in range(1, greatest(length(text) - 3, 2))])
+                     AS grams
+              FROM documents),
+            p AS (
+                SELECT id_a, id_b FROM (
+                    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                           len(list_intersect(a.grams, b.grams)) * 1.0 /
+                           (len(a.grams) + len(b.grams)
+                            - len(list_intersect(a.grams, b.grams))) AS j
+                    FROM g a JOIN g b ON a.doc_id < b.doc_id
+                    WHERE len(a.grams) * 1.0 >= 0.6 * len(b.grams)
+                      AND len(b.grams) * 1.0 >= 0.6 * len(a.grams))
+                WHERE j >= 0.6),
+            edges AS (SELECT id_a AS u, id_b AS v FROM p
+                      UNION SELECT id_b, id_a FROM p),
+            reach(src, dst) AS (
+                SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+                UNION
+                SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u
+            )
+            SELECT src AS doc_id, min(dst) AS component FROM reach
+            GROUP BY src ORDER BY doc_id
         """,
         # cross_fields: blended df = greatest(df_body, df_head), virtual-
         # field docCount N = greatest(n_body, n_head); per (doc, term) the

@@ -515,3 +515,103 @@ def terms_terms_agg(reader: IndexReader, outer_column: str,
     for row in parts:
         acc[(row["o"], row["i"])] += int(row["n"])
     return [(o, i, n) for (o, i), n in sorted(acc.items())]
+
+
+def top_hits_agg(reader: IndexReader, key_column: str, sort_column: str,
+                 n_per_bucket: int = 3,
+                 descending: bool = True,
+                 tie_column: str = "doc_id") -> list[tuple]:
+    """ES ``terms`` aggregation with a ``top_hits`` sub-aggregation sorted
+    by a docvalue: per key bucket, the ``n_per_bucket`` best docs by
+    ``sort_column`` (tie-break ascending doc_id — the engine's total order
+    without a scoring clause; ES [field, _id]).
+
+    Distributed per-batch combiner over the pruned (doc_id, key, sort)
+    columns: each batch keeps its own ≤n rows PER KEY (a per-bucket top-n
+    partial), the driver merges the ≤ n·keys·batches-row partials — the
+    corpus never materializes. Docs with a null key or null sort value are
+    skipped (ES missing is opt-in / sort skips missing). ``tie_column``
+    picks the tie-break order (default internal doc_id; pass ``"url"`` for
+    the external [field, _id]-style string order the SQL oracles can
+    express). Returns [(key, doc_id, value)] sorted by (key asc, value
+    order, tie asc)."""
+    import pandas as pd
+    import ray.data as rd
+
+    cols = ["doc_id", key_column, sort_column]
+    if tie_column not in cols:
+        cols.append(tie_column)
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t[key_column]),
+                             pc.is_valid(t[sort_column])))
+        if not t.num_rows:
+            return pa.table({"key": pa.array([], pa.large_string()),
+                             "doc_id": pa.array([], pa.uint64()),
+                             "tie": pa.array([], pa.large_string()),
+                             "v": pa.array([], pa.float64())})
+        v = t[sort_column].combine_chunks()
+        if pa.types.is_timestamp(v.type) or pa.types.is_date(v.type):
+            v = v.cast(pa.int64())
+        pdf = pd.DataFrame({
+            "key": t[key_column].to_pandas().astype(str),
+            "doc_id": t["doc_id"].to_numpy().astype(np.uint64),
+            "tie": t[tie_column].to_pandas().astype(str),
+            "v": v.cast(pa.float64()).to_numpy(zero_copy_only=False),
+        })
+        pdf = pdf.sort_values(["key", "v", "tie"],
+                              ascending=[True, not descending, True])
+        pdf = pdf.groupby("key", sort=False).head(n_per_bucket)
+        return pa.table({
+            "key": pa.array(pdf["key"], pa.large_string()),
+            "doc_id": pa.array(pdf["doc_id"].to_numpy(), pa.uint64()),
+            "tie": pa.array(pdf["tie"], pa.large_string()),
+            "v": pa.array(pdf["v"].to_numpy(), pa.float64()),
+        })
+
+    parts = rd.read_parquet(
+        _dv_path(reader), columns=cols
+    ).map_batches(partial, batch_format="pyarrow").take_all()
+    import pandas as pd  # driver merge of the ≤n·keys·batches partials
+
+    if not parts:
+        return []
+    pdf = pd.DataFrame(parts)
+    pdf = pdf.sort_values(["key", "v", "tie"],
+                          ascending=[True, not descending, True])
+    pdf = pdf.groupby("key", sort=False).head(n_per_bucket)
+    return [(str(k), int(d), float(v))
+            for k, d, v in zip(pdf["key"], pdf["doc_id"], pdf["v"])]
+
+
+def bucket_pipeline_agg(reader: IndexReader, key_column: str,
+                        value_column: str, metric: str = "avg") -> dict:
+    """ES sibling PIPELINE aggregations (``avg_bucket`` / ``max_bucket`` /
+    ``min_bucket`` / ``sum_bucket``) over a terms+avg aggregation: compute
+    per-bucket avg(value), then fold the BUCKET VALUES (each bucket counts
+    once, regardless of doc_count — ES pipeline semantics).
+
+    Returns {"buckets": [(key, avg)...], metric: value, and for
+    max/min_bucket "keys": [winning keys]} — the winning-key list mirrors
+    ES's ``keys`` array (ties all reported, ascending). The heavy lifting
+    is the existing distributed terms_metric_agg; the pipeline fold is
+    driver-side over the tiny bucket table, exactly like ES's reducer."""
+    rows = terms_metric_agg(reader, key_column, value_column)
+    buckets = [(k, avg) for (k, n, s, avg, mn, mx) in rows
+               if not np.isnan(avg)]
+    if not buckets:
+        return {"buckets": [], metric: float("nan")}
+    vals = np.asarray([v for _, v in buckets], np.float64)
+    out: dict = {"buckets": buckets}
+    if metric == "avg":
+        out["avg"] = float(vals.mean())
+    elif metric == "sum":
+        out["sum"] = float(vals.sum())
+    elif metric in ("max", "min"):
+        best = vals.max() if metric == "max" else vals.min()
+        out[metric] = float(best)
+        out["keys"] = sorted(k for (k, v), bv in zip(buckets, vals == best)
+                             if bv)
+    else:
+        raise ValueError(f"unknown pipeline metric {metric!r}")
+    return out

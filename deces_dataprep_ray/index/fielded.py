@@ -338,6 +338,25 @@ def search_dis_max(
     return _topk_from_scores(union[live], scores[live], k)
 
 
+def constant_score(
+    reader: IndexReader, filters: list, k: int = 10, boost: float = 1.0,
+) -> list[tuple[int, float]]:
+    """ES ``constant_score``: every doc passing the filter context scores
+    exactly ``boost`` — no BM25, no per-doc variation (the cacheable-filter
+    pattern ES documents for scoring-free clauses). Requires ≥1 positive
+    filter (an unrestricted constant-score over the whole corpus would be a
+    doc-universe scan — same posture as ``NotKeywordFilter``). Ties break
+    ascending doc_id, the engine's total order."""
+    allow, exclude = _resolve_filters(reader, filters)
+    if allow is None:
+        raise ValueError("constant_score needs >= 1 positive filter")
+    docs = allow
+    if exclude is not None and len(exclude):
+        docs = docs[~np.isin(docs, exclude)]
+    docs = np.sort(docs)[:k]
+    return [(int(d), float(boost)) for d in docs]
+
+
 def search_cross_fields(
     reader: IndexReader,
     fields: list[str],

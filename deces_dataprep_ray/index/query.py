@@ -954,6 +954,227 @@ def search_phrase(
     return _topk_from_scores(surv, scores, k)
 
 
+def search_span_near(
+    reader: IndexReader, terms: list[str], k: int = 10, slop: int = 0,
+    in_order: bool = False, field: str | None = None,
+    filters: list | None = None,
+) -> list[tuple[int, float]]:
+    """ES/Lucene ``span_near`` over single-term spans: doc matches iff one
+    position per (distinct) term fits in a window of ``slop`` extra
+    positions. Frozen semantics (Lucene's width rule on unit-length spans):
+
+    - in_order=False: exists p_t per term with (max p − min p) − (m−1) ≤
+      slop — delegated window check, any term order inside the window;
+    - in_order=True: delegates to :func:`search_phrase`'s ordered-slop DP
+      (total inserted gap ≤ slop — the identical width formula when the
+      terms appear in the given order).
+
+    Matching docs score as the OR-BM25 of the unique terms (the engine's
+    phrase convention). The unordered check is vectorized across the whole
+    candidate set: anchors are EVERY position of every term (a satisfying
+    window's min position is some term's position), and each term does one
+    searchsorted against its stride-encoded position array per anchor set —
+    no per-doc loop. Same filter context as ``search_phrase``."""
+    toks = [t for tok in terms for t in tokenize(tok)]
+    if not toks:
+        return []
+    if in_order:
+        return search_phrase(reader, " ".join(toks), k, slop=slop,
+                             field=field, filters=filters)
+    uniq = sorted(set(toks))
+    prefix = f"{field}:" if field else ""
+    if field:
+        fstats = reader.field_stats.get(field)
+        if fstats is None:
+            return []
+        n_docs = int(fstats["n_docs"])
+        avgdl = float(fstats["avgdl"]) or 1.0
+    else:
+        n_docs = reader.n_docs
+        avgdl = reader.avgdl
+    data = {}
+    for t in uniq:
+        docs, tfs, dls, flat, off = reader.postings_with_positions(prefix + t)
+        if not len(docs):
+            return []
+        data[t] = (docs, tfs, dls, flat, off)
+    inter = data[uniq[0]][0]
+    for t in uniq[1:]:
+        inter = np.intersect1d(inter, data[t][0], assume_unique=True)
+        if not len(inter):
+            return []
+    if filters:
+        from .fielded import _filter_mask, _resolve_filters
+
+        allow, exclude = _resolve_filters(reader, filters)
+        if allow is not None and not len(allow):
+            return []
+        mask = _filter_mask(inter, allow, exclude)
+        if mask is not None:
+            inter = inter[mask]
+            if not len(inter):
+                return []
+
+    idx = {t: np.searchsorted(data[t][0], inter) for t in uniq}
+    pos = {t: _gather_candidate_positions(data, t, inter, idx) for t in uniq}
+    anchors = np.unique(np.concatenate(list(pos.values())))
+    width = np.int64(slop + len(uniq) - 1)  # max p − anchor allowed
+    ok = np.ones(len(anchors), bool)
+    for t in uniq:
+        # first position of t at or after the anchor must sit inside the
+        # window; stride-encoding keeps windows within one doc (width ≪ 2^33)
+        at = np.searchsorted(pos[t], anchors, side="left")
+        inb = at < len(pos[t])
+        good = np.zeros(len(anchors), bool)
+        good[inb] = pos[t][at[inb]] - anchors[inb] <= width
+        ok &= good
+        if not ok.any():
+            return []
+    surv = inter[np.unique(anchors[ok] // _DOC_STRIDE)]
+    scores = np.zeros(len(surv), np.float64)
+    for t in uniq:
+        docs, tfs, dls, _, _ = data[t]
+        p = np.searchsorted(docs, surv)
+        w = bm25_weight(tfs[p], dls[p], avgdl, reader.k1, reader.b)
+        scores += idf(n_docs, len(docs)) * w
+    return _topk_from_scores(surv, scores, k)
+
+
+def search_boosting(
+    reader: IndexReader, positive: str, negative: str, k: int = 10,
+    negative_boost: float = 0.5,
+) -> list[tuple[int, float]]:
+    """ES ``boosting`` query: docs score their positive-query BM25; docs
+    ALSO matching the negative query (any of its terms) keep ranking but at
+    score × ``negative_boost`` — demotion without exclusion (the must_not
+    alternative ES documents for 'relevant but less so')."""
+    union, scores = _score_all(reader, positive)
+    if not len(union):
+        return []
+    neg_docs = []
+    for t in analyze_query(negative):
+        docs, _, _ = reader.postings(t)
+        if len(docs):
+            neg_docs.append(docs)
+    if neg_docs:
+        neg = np.unique(np.concatenate(neg_docs))
+        demote = np.isin(union, neg)
+        scores = np.where(demote, scores * float(negative_boost), scores)
+    live = scores > 0.0
+    return _topk_from_scores(union[live], scores[live], k)
+
+
+def search_bool_prefix(
+    reader: IndexReader, query: str, k: int = 10,
+    max_expansions: int = 50,
+) -> list[tuple[int, float]]:
+    """ES ``match_bool_prefix``: every term but the last matches as a
+    regular OR term query; the LAST term matches as a prefix. Frozen
+    scoring (= ES's default constant-score rewrite of the prefix clause):
+    full terms contribute their BM25; the prefix clause contributes a
+    constant 1.0 to any doc holding ≥1 expansion. Unlike
+    ``match_phrase_prefix`` no positions are consulted — clauses are
+    independent bool-should terms."""
+    toks = tokenize(query)
+    if not toks:
+        return []
+    head, last = toks[:-1], toks[-1]
+    union, scores = (_score_all(reader, " ".join(head)) if head
+                     else (np.empty(0, np.uint64), np.empty(0, np.float64)))
+    exp = expand_prefix(reader, last, max_expansions=max_expansions)
+    pdocs = []
+    for t in exp:
+        docs, _, _ = reader.postings(t)
+        if len(docs):
+            pdocs.append(docs)
+    if pdocs:
+        pd_ = np.unique(np.concatenate(pdocs))
+        union2 = np.union1d(union, pd_)
+        s2 = np.zeros(len(union2), np.float64)
+        if len(union):
+            s2[np.searchsorted(union2, union)] = scores
+        s2[np.searchsorted(union2, pd_)] += 1.0  # constant-score prefix
+        union, scores = union2, s2
+    if not len(union):
+        return []
+    live = scores > 0.0
+    return _topk_from_scores(union[live], scores[live], k)
+
+
+_QS_CLAUSE = None  # compiled lazily (module import stays light)
+
+
+def parse_query_string(qs: str) -> dict:
+    """Parse the frozen mini query-string grammar (a small, DOCUMENTED
+    subset of ES ``query_string``):
+
+    - bare token            → bool-should term (analyzed)
+    - ``-token``            → must_not term (doc excluded if it holds it)
+    - ``"quoted tokens"``   → must match_phrase (slop 0)
+    - ``-"quoted tokens"``  → must_not phrase is NOT supported (raises) —
+      keeping exclusion term-level keeps the oracle exact
+
+    Returns {"should": [terms...], "must_not": [terms...],
+    "phrases": [phrase strings...]}. AND/OR connectives are not part of the
+    grammar (ES default operator OR == bool-should here; phrases are must
+    clauses, matching ES's behavior of quoted text in query_string)."""
+    import re as _re
+
+    global _QS_CLAUSE
+    if _QS_CLAUSE is None:
+        _QS_CLAUSE = _re.compile(r'(-)?(?:"([^"]*)"|(\S+))')
+    should: list[str] = []
+    must_not: list[str] = []
+    phrases: list[str] = []
+    for m in _QS_CLAUSE.finditer(qs):
+        neg, quoted, bare = m.groups()
+        if quoted is not None:
+            if neg:
+                raise ValueError("negated phrases are not in the grammar")
+            if tokenize(quoted):
+                phrases.append(quoted)
+        elif bare:
+            (must_not if neg else should).extend(tokenize(bare))
+    return {"should": sorted(set(should)),
+            "must_not": sorted(set(must_not)),
+            "phrases": phrases}
+
+
+def search_query_string(
+    reader: IndexReader, qs: str, k: int = 10,
+) -> list[tuple[int, float]]:
+    """ES ``query_string`` over the frozen grammar of
+    :func:`parse_query_string`: docs score the OR-BM25 sum over every
+    positive term (bare terms + phrase tokens, deduped), restricted to docs
+    containing every quoted phrase (must), minus docs holding any must_not
+    term. Phrases need a positional index, like ``search_phrase``."""
+    parsed = parse_query_string(qs)
+    pos_terms = set(parsed["should"])
+    for ph in parsed["phrases"]:
+        pos_terms.update(tokenize(ph))
+    if not pos_terms:
+        return []
+    union, scores = _score_all(reader, " ".join(sorted(pos_terms)))
+    if not len(union):
+        return []
+    for ph in parsed["phrases"]:
+        surv = search_phrase(reader, ph, k=len(union))
+        ids = np.asarray(sorted(d for d, _ in surv), np.uint64)
+        keep = np.isin(union, ids)
+        union, scores = union[keep], scores[keep]
+        if not len(union):
+            return []
+    for t in parsed["must_not"]:
+        docs, _, _ = reader.postings(t)
+        if len(docs):
+            keep = ~np.isin(union, docs)
+            union, scores = union[keep], scores[keep]
+            if not len(union):
+                return []
+    live = scores > 0.0
+    return _topk_from_scores(union[live], scores[live], k)
+
+
 def search_min_should_match(
     reader: IndexReader, query: str, k: int = 10, min_match: int = 1
 ) -> list[tuple[int, float]]:

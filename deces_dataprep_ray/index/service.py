@@ -135,6 +135,21 @@ class _QueryWorker:
             "cross_fields": lambda r: F.search_cross_fields(
                 self.reader, r["fields"], r["query"], r.get("k", 10),
                 filters=r.get("filters")),
+            "span_near": lambda r: Q.search_span_near(
+                self.reader, r["terms"], r.get("k", 10),
+                slop=r.get("slop", 0), in_order=r.get("in_order", False),
+                field=r.get("field"), filters=r.get("filters")),
+            "boosting": lambda r: Q.search_boosting(
+                self.reader, r["positive"], r["negative"], r.get("k", 10),
+                negative_boost=r.get("negative_boost", 0.5)),
+            "bool_prefix": lambda r: Q.search_bool_prefix(
+                self.reader, r["query"], r.get("k", 10),
+                max_expansions=r.get("max_expansions", 50)),
+            "query_string": lambda r: Q.search_query_string(
+                self.reader, r["query"], r.get("k", 10)),
+            "constant_score": lambda r: F.constant_score(
+                self.reader, r["filters"], r.get("k", 10),
+                boost=r.get("boost", 1.0)),
         }
         out = []
         for req in requests:

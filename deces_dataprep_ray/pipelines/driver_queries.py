@@ -1502,3 +1502,148 @@ def q_cross_fields(sf_dir: str) -> pd.DataFrame:
     res = search_cross_fields(reader, ["body", "head"],
                               "data spark window", k=200)
     return _fielded_topk(reader, res)
+
+
+# --- round-4 surfaces: span/boost/prefix/constant/query_string queries,
+# --- top_hits + pipeline aggs, split/pack/components training-data ops ----
+
+def q_span_near(sf_dir: str) -> pd.DataFrame:
+    """Unordered span_near over the positional index: 'data' and 'window'
+    within a window of slop=3 extra positions, ANY order (Lucene width rule
+    (max p − min p) − 1 ≤ 3) — strictly more than match_phrase_slop, which
+    is ordered. Score = OR BM25 of the two terms."""
+    from ..index.query import search_span_near
+    from ..index.reader import IndexReader
+
+    reader = IndexReader(_positional_index_for(sf_dir))
+    res = search_span_near(reader, ["data", "window"], k=400, slop=3,
+                           in_order=False)
+    return _rounded_topk(res, reader)
+
+
+def q_boosting(sf_dir: str) -> pd.DataFrame:
+    """ES boosting query: BM25('data spark window'), docs also containing
+    'key' demoted to 0.5x their score (ranking demotion, not exclusion)."""
+    from ..index.query import search_boosting
+    from ..index.reader import IndexReader
+
+    reader = IndexReader(_index_for(sf_dir))
+    res = search_boosting(reader, "data spark window", "key", k=400,
+                          negative_boost=0.5)
+    return _rounded_topk(res, reader)
+
+
+def q_bool_prefix(sf_dir: str) -> pd.DataFrame:
+    """ES match_bool_prefix 'data spark win': full terms score BM25, the
+    trailing prefix clause adds a constant 1.0 to docs holding any 'win%'
+    term (ES's constant-score multi-term rewrite)."""
+    from ..index.query import search_bool_prefix
+    from ..index.reader import IndexReader
+
+    reader = IndexReader(_index_for(sf_dir))
+    res = search_bool_prefix(reader, "data spark win", k=400,
+                             max_expansions=4096)
+    return _rounded_topk(res, reader)
+
+
+def q_constant_score(sf_dir: str) -> pd.DataFrame:
+    """ES constant_score: every doc passing (lang='en' AND n_chars in
+    [100, 300]) scores exactly 1.5 — full match set returned (k covers
+    all) so the comparison is order-free."""
+    from ..index.fielded import KeywordFilter, RangeFilter, constant_score
+    from ..index.reader import IndexReader
+
+    reader = IndexReader(_fielded_index_for(sf_dir))
+    res = constant_score(reader,
+                         [KeywordFilter("lang", "en"),
+                          RangeFilter("n_chars", 100, 300)],
+                         k=10**9, boost=1.5)
+    urls = reader.resolve_urls([d for d, _ in res])
+    return pd.DataFrame({
+        "doc_id": sorted(int(urls[d].removeprefix("doc://"))
+                         for d, _ in res),
+        "score": np.full(len(res), 1.5),
+    })
+
+
+def q_query_string(sf_dir: str) -> pd.DataFrame:
+    """query_string '"data spark" window -key': quoted phrase is a MUST
+    (adjacent positions), bare terms bool-should, -key excludes; score =
+    OR-BM25 over {data, spark, window}."""
+    from ..index.query import search_query_string
+    from ..index.reader import IndexReader
+
+    reader = IndexReader(_positional_index_for(sf_dir))
+    res = search_query_string(reader, '"data spark" window -key', k=400)
+    return _rounded_topk(res, reader)
+
+
+def q_top_hits_agg(sf_dir: str) -> pd.DataFrame:
+    """terms + top_hits: per lang bucket, the 3 largest-n_chars docs
+    (tie-break ascending url string — the SQL-expressible [field, _id]
+    order)."""
+    from ..index.aggs import top_hits_agg
+    from ..index.reader import IndexReader
+
+    reader = IndexReader(_fielded_index_for(sf_dir))
+    rows = top_hits_agg(reader, "lang_dv", "n_chars", n_per_bucket=3,
+                        descending=True, tie_column="url")
+    urls = reader.resolve_urls([d for _, d, _ in rows])
+    return pd.DataFrame({
+        "lang": [k for k, _, _ in rows],
+        "doc_id": [int(urls[d].removeprefix("doc://")) for _, d, _ in rows],
+        "n_chars": [int(v) for _, _, v in rows],
+    })
+
+
+def q_avg_bucket(sf_dir: str) -> pd.DataFrame:
+    """ES avg_bucket sibling pipeline aggregation: avg over the per-lang
+    avg(n_chars) bucket values (each bucket counts once)."""
+    from ..index.aggs import bucket_pipeline_agg
+    from ..index.reader import IndexReader
+
+    reader = IndexReader(_fielded_index_for(sf_dir))
+    out = bucket_pipeline_agg(reader, "lang_dv", "n_chars", metric="avg")
+    return pd.DataFrame({
+        "avg_bucket": round_away([out["avg"]], 6),
+        "n_buckets": [len(out["buckets"])],
+    })
+
+
+def q_hash_split(sf_dir: str) -> pd.DataFrame:
+    """Deterministic train/val/test split: md5('s1' + doc_id) first 8 hex
+    vs the cumulative-fraction thresholds (0.8/0.1/0.1) — leakage-safe,
+    partition-independent."""
+    from ..stages.text import HashSplit
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    out = ds.map_batches(
+        HashSplit(key_col="doc_id", salt="s1",
+                  fractions=(("train", 0.8), ("val", 0.1), ("test", 0.1))),
+        batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_pack_sequences(sf_dir: str) -> pd.DataFrame:
+    """Deterministic contiguous sequence packing: ascending doc_id, bin =
+    floor(exclusive running token cumsum / 500)."""
+    from ..stages.text import pack_sequences
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = pack_sequences(ds, budget=500, range_size=100).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_dup_components(sf_dir: str) -> pd.DataFrame:
+    """Connected components over the exact-verified ngram near-dup pairs
+    (q_ngram_dedup's graph): component = min doc_id reachable through dup
+    edges — the keep/drop labeling step after pairwise dedup."""
+    from ..stages.dedup import duplicate_components, ngram_jaccard_duplicates
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = ngram_jaccard_duplicates(ds, threshold=0.6, num_hashes=64,
+                                     num_bands=32)
+    lab = duplicate_components(pairs).to_pandas()
+    lab["doc_id"] = lab["doc_id"].astype(np.int64)
+    lab["component"] = lab["component"].astype(np.int64)
+    return lab.sort_values("doc_id").reset_index(drop=True)

@@ -763,3 +763,81 @@ def ngram_jaccard(text_a: str, text_b: str, k: int = 5) -> float:
     if not a and not b:
         return 1.0
     return len(a & b) / len(a | b)
+
+
+def duplicate_components(
+    pairs: rd.Dataset,
+    max_rounds: int = 25,
+) -> rd.Dataset:
+    """Connected components over near-duplicate PAIR edges → one
+    ``(doc_id, component)`` row per touched doc, component = the MINIMUM
+    doc id reachable through the dup graph. This is the step that turns
+    pairwise dedup output into keep/drop decisions ("keep the min id per
+    component") when duplicates chain (A≈B, B≈C but A≉C).
+
+    Distributed min-label propagation on Ray Data: labels start as each
+    node's own id; every round each node takes the min of its own label
+    and its neighbors' labels (one hash_join of edges⋈labels + one
+    groupby-min — edge-sized shuffles, nothing driver-side). Labels are
+    integers that only ever DECREASE, so Σlabels is a strictly decreasing
+    convergence witness: the loop stops the first round the sum is
+    unchanged (that round re-proves the fixpoint). Rounds needed = graph
+    diameter (dup chains are short in practice; ``max_rounds`` is the
+    runaway bound and raises if hit — silent non-convergence would emit
+    WRONG components)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Min, Sum
+
+    from .join import hash_join
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        a = t["id_a"].combine_chunks().cast(pa.int64())
+        b = t["id_b"].combine_chunks().cast(pa.int64())
+        return pa.table({
+            "u": pa.chunked_array([a, b]).combine_chunks(),
+            "v": pa.chunked_array([b, a]).combine_chunks(),
+        })
+
+    edges = pairs.map_batches(edge_rows, batch_format="pyarrow").materialize()
+    if edges.count() == 0:
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "component": pa.array([], pa.int64()),
+        }))
+
+    def node_rows(t: pa.Table) -> pa.Table:
+        return pa.table({"node": pc.unique(t["u"].combine_chunks())})
+
+    labels = (
+        edges.map_batches(node_rows, batch_format="pyarrow")
+        .groupby("node").aggregate(Min("node", alias_name="label"))
+        .materialize()
+    )
+
+    def label_sum(lab: rd.Dataset) -> int:
+        row = lab.aggregate(Sum("label", alias_name="s"))
+        return int(row["s"])
+
+    prev_sum = label_sum(labels)
+    for _ in range(max_rounds):
+        # neighbor candidates: edge (u,v) proposes label(u) to v
+        cand = hash_join(edges, labels, on={"u": "node"}).map_batches(
+            lambda t: pa.table({"node": t["v"], "label": t["label"]}),
+            batch_format="pyarrow")
+        labels = (
+            cand.union(labels.map_batches(
+                lambda t: pa.table({"node": t["node"], "label": t["label"]}),
+                batch_format="pyarrow"))
+            .groupby("node").aggregate(Min("label", alias_name="label"))
+            .materialize()
+        )
+        cur = label_sum(labels)
+        if cur == prev_sum:
+            return labels.map_batches(
+                lambda t: pa.table({"doc_id": t["node"],
+                                    "component": t["label"]}),
+                batch_format="pyarrow")
+        prev_sum = cur
+    raise RuntimeError(
+        f"duplicate_components did not converge in {max_rounds} rounds "
+        f"(graph diameter exceeds the bound; raise max_rounds)")

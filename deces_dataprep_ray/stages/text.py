@@ -263,3 +263,98 @@ class RepetitionStats(Stage):
             "dup_word_frac", pa.array(dupc / safe, pa.float64()))
         return batch.append_column(
             "top_bigram_frac", pa.array(top2 / safe2, pa.float64()))
+
+
+@dataclass
+class HashSplit(Stage):
+    """Deterministic train/val/test split by content-stable hash — the
+    standard leakage-safe corpus split (same key ⇒ same split, forever,
+    regardless of corpus growth or partitioning).
+
+    Frozen semantics (SQL-checkable): bucket = first 8 hex chars of
+    md5(salt + str(key)); the unit interval splits at the cumulative
+    fractions, compared in hex space (lexicographic == numeric for fixed-
+    width lowercase hex). Adds a ``split`` column."""
+
+    key_col: str = "doc_id"
+    salt: str = ""
+    fractions: tuple = (("train", 0.9), ("val", 0.05), ("test", 0.05))
+
+    def _thresholds(self) -> list[tuple[str, str]]:
+        out, cum = [], 0.0
+        for name, frac in self.fractions:
+            cum += float(frac)
+            hi = min(int(cum * (1 << 32)), (1 << 32) - 1)
+            out.append((name, format(hi, "08x")))
+        out[-1] = (out[-1][0], "ffffffff")  # float-sum slack → last bucket
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        th = self._thresholds()
+        keys = batch[self.key_col].to_pylist()
+        labels = []
+        for kv in keys:
+            h = hashlib.md5(
+                (self.salt + str(kv)).encode("utf-8")).hexdigest()[:8]
+            for name, hi in th:
+                if h <= hi:
+                    labels.append(name)
+                    break
+        return batch.append_column("split", pa.array(labels, pa.string()))
+
+
+def pack_sequences(ds, id_col: str = "doc_id", text_col: str = "text",
+                   budget: int = 2048, range_size: int = 100_000):
+    """Deterministic contiguous sequence packing for training shards:
+    docs in ascending ``id_col`` order, ``bin = floor(exclusive running
+    token cumsum / budget)`` — a doc whose tokens straddle a boundary
+    belongs to the bin its FIRST token falls in (frozen, SQL-checkable via
+    a window sum; simpler than first-fit-decreasing and deterministic
+    under any partitioning).
+
+    Distributed two-pass shape (no driver-side corpus state):
+    1. per-batch (range, Σtokens) partials over the id ranges
+       ``id // range_size`` → tiny driver-side exclusive prefix offsets;
+    2. ``groupby(range).map_groups``: sort the range by id, local exclusive
+       cumsum + the range's offset → bin. Exchange volume: pass 1 one row
+       per (range, batch); pass 2 shuffles (id, n_tokens) rows only.
+
+    Returns a Dataset of (id_col, n_tokens, bin)."""
+    import ray.data as rd  # noqa: F401 — dataset in, dataset out
+    from ray.data.aggregate import Sum
+
+    from ..functions.analysis import tokenize_many
+
+    def counts(t: pa.Table) -> pa.Table:
+        texts = ["" if x is None else x for x in t[text_col].to_pylist()]
+        toks = tokenize_many(texts)
+        n = np.fromiter((len(x) for x in toks), np.int64, len(toks))
+        ids = t[id_col].to_numpy().astype(np.int64)
+        return pa.table({
+            id_col: t[id_col],
+            "n_tokens": pa.array(n, pa.int64()),
+            "rng": pa.array(ids // range_size, pa.int64()),
+        })
+
+    counted = ds.select_columns([id_col, text_col]).map_batches(
+        counts, batch_format="pyarrow")
+    per_range = (counted.select_columns(["rng", "n_tokens"])
+                 .groupby("rng").aggregate(Sum("n_tokens", alias_name="s"))
+                 .to_pandas())  # one row per id range — tiny at any corpus
+    per_range = per_range.sort_values("rng")
+    offs = dict(zip(per_range["rng"].astype(int),
+                    per_range["s"].astype(int).cumsum().shift(
+                        1, fill_value=0)))
+
+    def assign(g) -> "pa.Table":
+        g = g.sort_values(id_col)
+        n = g["n_tokens"].to_numpy()
+        excl = int(offs.get(int(g["rng"].iloc[0]), 0)) + (
+            np.cumsum(n) - n)
+        return pa.table({
+            id_col: pa.array(g[id_col].to_numpy()),
+            "n_tokens": pa.array(n, pa.int64()),
+            "bin": pa.array(excl // budget, pa.int64()),
+        })
+
+    return counted.groupby("rng").map_groups(assign, batch_format="pandas")
