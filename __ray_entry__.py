@@ -92,6 +92,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_split": dq.q_hash_split,
         "pack_sequences": dq.q_pack_sequences,
         "dup_components": dq.q_dup_components,
+        # rows-only: learned-quantizer ANN (recall/pruning oracles in
+        # tests/test_dedup_ann.py, like ann_lsh)
+        "ann_ivf": dq.q_ann_ivf,
         # --- BM25 / fielded / agg band (driver-green in r03) ---
         "bm25_topk": dq.q_bm25_topk,
         "bm25_and": dq.q_bm25_and,

@@ -275,6 +275,10 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool) -> dict:
             ("exact_dedup", dq.q_exact_dedup),
             ("ann_cosine", dq.q_ann_cosine),
             ("minhash_pairs", dq.q_minhash_pairs),
+            # vectorized text stages (round-4 rework): full-corpus walls
+            ("langid", dq.q_langid),
+            ("fingerprint", dq.q_fingerprint),
+            ("hash_split", dq.q_hash_split),
         ]:
             t = time.time()
             fn(sf_dir)

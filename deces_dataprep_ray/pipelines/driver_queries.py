@@ -1647,3 +1647,29 @@ def q_dup_components(sf_dir: str) -> pd.DataFrame:
     lab["doc_id"] = lab["doc_id"].astype(np.int64)
     lab["component"] = lab["component"].astype(np.int64)
     return lab.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_ann_ivf(sf_dir: str) -> pd.DataFrame:
+    """IVF-flat ANN against the PERSISTED k-means-quantized index: learned
+    coarse centroids (spherical k-means on a bounded sample), bucket-sorted
+    parquet, each query reads only its nprobe nearest centroid lists'
+    row groups (approximate; recall vs brute force in tests, rows-only
+    here)."""
+    from ..stages.ann import IvfIndex, build_ivf_index
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    tag = hashlib.sha256(
+        f"ivf:{emb_path}:{os.path.getsize(emb_path)}".encode()).hexdigest()[:12]
+    index_dir = os.path.join("/tmp", "dcray_index_cache", "ivf_" + tag)
+    if not os.path.exists(os.path.join(index_dir, "meta.json")):
+        ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).filter(
+            expr="vec_id != 0")
+        build_ivf_index(ds, index_dir, nlist=32, train_size=2048)
+
+    q = pq.read_table(emb_path)
+    qvec = np.asarray(q.filter(pc.equal(q["vec_id"], 0))["embedding"][0].as_py(),
+                      dtype=np.float32)
+    out = IvfIndex(index_dir).topk(qvec[None, :], k=10, nprobe=8)
+    out = out[["vec_id", "cosine"]].copy()
+    out["cosine"] = round_away(out["cosine"], 4)
+    return out.reset_index(drop=True)

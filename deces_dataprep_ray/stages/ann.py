@@ -333,3 +333,199 @@ def all_pairs_cosine(
                          "cosine": pa.array(sims[ii, jj], pa.float64())})
 
     return ds.map_batches(pairs, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# IVF index: k-means coarse quantizer, bucket-sorted persisted lists
+# ---------------------------------------------------------------------------
+
+def _kmeans_cosine(sample: np.ndarray, nlist: int, seed: int,
+                   iters: int = 4) -> np.ndarray:
+    """Small deterministic spherical k-means on a TRAINING SAMPLE (driver-
+    side numpy — bounded by the sample, never the corpus): seeded init from
+    sample rows, argmax-cosine assignment, mean + renormalize update; an
+    emptied cluster keeps its previous centroid. Returns L2-normalized
+    (nlist, dim) float32 centroids."""
+    rng = np.random.default_rng(seed)
+    x = np.asarray(sample, np.float64)
+    n = np.linalg.norm(x, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    x = x / n
+    nlist = min(nlist, len(x))
+    c = x[rng.choice(len(x), nlist, replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(x @ c.T, axis=1)
+        for j in range(nlist):
+            m = assign == j
+            if m.any():
+                v = x[m].mean(axis=0)
+                nv = np.linalg.norm(v)
+                if nv > 0:
+                    c[j] = v / nv
+    return c.astype(np.float32)
+
+
+class _IvfAssign:
+    """map_batches actor stage: vector → nearest-centroid bucket id
+    (centroids built once per actor from the broadcast ref)."""
+
+    def __init__(self, centroids_ref, id_col: str, vec_col: str):
+        import ray as _ray
+
+        c = (_ray.get(centroids_ref)
+             if isinstance(centroids_ref, _ray.ObjectRef) else centroids_ref)
+        self.c = np.asarray(c, np.float32)
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _to_matrix(batch[self.vec_col]).astype(np.float32)
+        if m.shape[0]:
+            n = np.linalg.norm(m, axis=1, keepdims=True)
+            n[n == 0] = 1.0
+            buckets = np.argmax((m / n) @ self.c.T, axis=1).astype(np.uint64)
+        else:
+            buckets = np.empty(0, np.uint64)
+        return pa.table({
+            self.id_col: batch[self.id_col],
+            self.vec_col: batch[self.vec_col],
+            "bucket": pa.array(buckets, pa.uint64()),
+        })
+
+
+def build_ivf_index(
+    ds: rd.Dataset,
+    index_dir: str,
+    *,
+    nlist: int = 64,
+    seed: int = 17,
+    train_size: int = 4096,
+    kmeans_iters: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    row_group_size: int = 2048,
+) -> dict:
+    """Persist an IVF (inverted-file) ANN index: train a spherical-k-means
+    coarse quantizer on a bounded sample, assign every vector to its
+    nearest centroid in a map_batches actor stage, sort by bucket and write
+    parquet whose row groups carry bucket min/max statistics — the same
+    pruned-probe-read layout as :func:`build_ann_index`, with a LEARNED
+    quantizer instead of random hyperplanes (tighter buckets on clustered
+    corpora; the FAISS IVF-flat shape re-expressed as a Dataset pipeline).
+    Centroids persist beside the data (centroids.parquet) so queries never
+    retrain. Deterministic for fixed (seed, train_size, corpus order)."""
+    import json
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    sample_tbl = ds.take_batch(train_size, batch_format="pyarrow")
+    sample = _to_matrix(sample_tbl[vec_col])
+    cents = _kmeans_cosine(sample, nlist, seed, kmeans_iters)
+    cref = ray.put(cents)
+    bucketed = ds.map_batches(
+        _IvfAssign,
+        fn_constructor_kwargs=dict(centroids_ref=cref, id_col=id_col,
+                                   vec_col=vec_col),
+        batch_format="pyarrow", concurrency=(1, 4),
+    ).sort("bucket")
+    tmp = index_dir + ".tmp"
+    for d in (tmp, index_dir):
+        if os.path.exists(d):
+            shutil.rmtree(d)
+    bucketed.write_parquet(tmp, row_group_size=row_group_size)
+    os.makedirs(tmp, exist_ok=True)
+    flat = pa.array(cents.reshape(-1), pa.float32())
+    offs = pa.array(
+        np.arange(0, (len(cents) + 1) * cents.shape[1], cents.shape[1],
+                  dtype=np.int32), pa.int32())
+    pq.write_table(
+        pa.table({"centroid": pa.ListArray.from_arrays(offs, flat)}),
+        os.path.join(tmp, "centroids.parquet"))
+    meta = {"kind": "ivf", "nlist": int(len(cents)),
+            "dim": int(cents.shape[1]), "seed": int(seed),
+            "id_col": id_col, "vec_col": vec_col}
+    with open(os.path.join(tmp, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, index_dir)
+    return meta
+
+
+class IvfIndex:
+    """Reader over a persisted IVF index: probes the ``nprobe`` nearest
+    centroid lists per query, reads ONLY the row groups intersecting the
+    probe buckets (parquet statistics pruning — same machinery as
+    :class:`AnnIndex`), exact-cosine reranks inside them."""
+
+    def __init__(self, index_dir: str):
+        import json
+        import os
+
+        import pyarrow.parquet as pq
+
+        with open(os.path.join(index_dir, "meta.json")) as f:
+            self.meta = json.load(f)
+        cent_tbl = pq.read_table(os.path.join(index_dir, "centroids.parquet"))
+        self.centroids = _to_matrix(cent_tbl["centroid"]).astype(np.float32)
+        self._files = []
+        self.total_rows = 0
+        for name in sorted(os.listdir(index_dir)):
+            if not name.endswith(".parquet") or name == "centroids.parquet":
+                continue
+            path = os.path.join(index_dir, name)
+            md = pq.read_metadata(path)
+            idx = md.schema.to_arrow_schema().get_field_index("bucket")
+            mins = np.empty(md.num_row_groups, np.uint64)
+            maxs = np.empty(md.num_row_groups, np.uint64)
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(idx).statistics
+                mins[g], maxs[g] = np.uint64(st.min), np.uint64(st.max)
+                self.total_rows += md.row_group(g).num_rows
+            self._files.append({"path": path, "pf": None,
+                                "mins": mins, "maxs": maxs})
+        self.last_rows_read = 0
+
+    def probe_buckets(self, queries: np.ndarray, nprobe: int = 4
+                      ) -> np.ndarray:
+        q = np.asarray(queries, np.float32)
+        n = np.linalg.norm(q, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        sims = (q / n) @ self.centroids.T
+        npb = min(nprobe, sims.shape[1])
+        top = np.argpartition(-sims, npb - 1, axis=1)[:, :npb]
+        return np.unique(top.reshape(-1)).astype(np.uint64)
+
+    def topk(self, queries: np.ndarray, k: int = 10,
+             nprobe: int = 4) -> pd.DataFrame:
+        import pyarrow.parquet as pq
+
+        q = np.asarray(queries, dtype=np.float64)
+        want = self.probe_buckets(q, nprobe)
+        id_col, vec_col = self.meta["id_col"], self.meta["vec_col"]
+        scorer = BruteForceTopK(q, id_col=id_col, vec_col=vec_col, k=k)
+        parts, rows_read = [], 0
+        for f in self._files:
+            lo = np.searchsorted(want, f["mins"], side="left")
+            hi = np.searchsorted(want, f["maxs"], side="right")
+            groups = np.flatnonzero(hi > lo)
+            if not len(groups):
+                continue
+            if f["pf"] is None:
+                f["pf"] = pq.ParquetFile(f["path"])
+            tbl = f["pf"].read_row_groups(groups.tolist())
+            rows_read += tbl.num_rows
+            mask = np.isin(tbl["bucket"].to_numpy(), want)
+            tbl = tbl.filter(pa.array(mask))
+            if tbl.num_rows:
+                parts.append(scorer(tbl))
+        self.last_rows_read = rows_read
+        if not parts:
+            return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                                 id_col: pd.Series([], dtype="int64"),
+                                 "cosine": pd.Series([], dtype="float64")})
+        cand = pa.concat_tables(parts).to_pandas()
+        return (cand.sort_values(["query_id", "cosine", id_col],
+                                 ascending=[True, False, True])
+                .groupby("query_id", as_index=False).head(k)
+                .reset_index(drop=True))

@@ -369,3 +369,58 @@ def test_embedding_bucketize_signature_built_once():
     finally:
         ann.LshSignature.__init__ = orig_init
     assert calls["n"] == 1
+
+
+def test_ivf_index_recall_and_pruning(tmp_path):
+    """IVF-flat vs brute force: high recall at generous nprobe, EXACT
+    equality at nprobe=nlist (all lists scanned), and the probe read must
+    prune (read ≪ corpus at small nprobe)."""
+    from deces_dataprep_ray.stages.ann import (
+        IvfIndex,
+        brute_force_topk,
+        build_ivf_index,
+    )
+
+    rng = np.random.default_rng(8)
+    n, d = 600, 16
+    # clustered corpus: 6 gaussian blobs — the case IVF's learned centroids
+    # should bucket tightly
+    centers = rng.standard_normal((6, d)) * 3
+    m = np.vstack([c + rng.standard_normal((n // 6, d)) for c in centers])
+    m = m.astype(np.float32)
+    offs = pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int32), pa.int32())
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(n), pa.int64()),
+        "embedding": pa.ListArray.from_arrays(
+            offs, pa.array(m.reshape(-1), pa.float32())),
+    }))
+    idx_dir = str(tmp_path / "ivf")
+    meta = build_ivf_index(ds, idx_dir, nlist=12, train_size=600,
+                           row_group_size=64)
+    assert meta["nlist"] == 12
+    ivf = IvfIndex(idx_dir)
+
+    queries = m[rng.choice(n, 5, replace=False)].astype(np.float64)
+    bf = brute_force_topk(ds, queries, k=10)
+    got = ivf.topk(queries, k=10, nprobe=4)
+    # recall@10 over the 5 queries
+    rec = 0.0
+    for qi in range(5):
+        want = set(bf[bf["query_id"] == qi]["vec_id"])
+        have = set(got[got["query_id"] == qi]["vec_id"])
+        rec += len(want & have) / 10
+    assert rec / 5 >= 0.9
+    # pruning: a single query at small nprobe reads a fraction of the corpus
+    ivf.topk(queries[:1], k=10, nprobe=2)
+    assert ivf.last_rows_read < n * 0.6
+
+    # exact at full probe: scanning every list == brute force
+    full = ivf.topk(queries, k=10, nprobe=12)
+    pd.testing.assert_frame_equal(
+        full.reset_index(drop=True), bf.reset_index(drop=True),
+        check_dtype=False)
+
+    # determinism: rebuilding yields identical centroids
+    idx2 = str(tmp_path / "ivf2")
+    build_ivf_index(ds, idx2, nlist=12, train_size=600, row_group_size=64)
+    np.testing.assert_array_equal(IvfIndex(idx2).centroids, ivf.centroids)
