@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_split": dq.q_hash_split,
         "pack_sequences": dq.q_pack_sequences,
         "dup_components": dq.q_dup_components,
+        "extended_stats": dq.q_extended_stats,
         # rows-only: learned-quantizer ANN (recall/pruning oracles in
         # tests/test_dedup_ann.py, like ann_lsh)
         "ann_ivf": dq.q_ann_ivf,
@@ -751,6 +752,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, round(score, 6) AS score FROM combined
             WHERE score > 0
             ORDER BY round(score, 6) DESC, doc_id LIMIT 10
+        """,
+        "extended_stats": """
+            SELECT count(n_chars)::BIGINT AS n,
+                   round(sum(n_chars)::DOUBLE, 6) AS sm,
+                   round(avg(n_chars), 6) AS avg,
+                   round(var_pop(n_chars), 4) AS variance,
+                   round(stddev_pop(n_chars), 4) AS std_dev
+            FROM documents
         """,
         "constant_score": """
             SELECT doc_id, 1.5 AS score FROM documents

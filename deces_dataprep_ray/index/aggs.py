@@ -615,3 +615,44 @@ def bucket_pipeline_agg(reader: IndexReader, key_column: str,
     else:
         raise ValueError(f"unknown pipeline metric {metric!r}")
     return out
+
+
+def extended_stats_agg(reader: IndexReader, column: str) -> dict:
+    """ES ``extended_stats``: stats plus sum_of_squares / variance /
+    std_deviation (population variance — ES semantics), nulls skipped.
+    Same execution shape as ``stats_agg``: one 5-number partial row per
+    batch, exact driver merge (variance from the merged Σx, Σx² — no
+    per-batch variance folding needed)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t[column].drop_null().cast(pa.float64()).combine_chunks()
+        v = col.to_numpy(zero_copy_only=False)
+        if not len(v):
+            return pa.table({"n": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.float64()),
+                             "ss": pa.array([], pa.float64()),
+                             "mn": pa.array([], pa.float64()),
+                             "mx": pa.array([], pa.float64())})
+        return pa.table({
+            "n": pa.array([len(v)], pa.int64()),
+            "s": pa.array([float(v.sum())]),
+            "ss": pa.array([float((v * v).sum())]),
+            "mn": pa.array([float(v.min())]),
+            "mx": pa.array([float(v.max())]),
+        })
+
+    parts = _read_dv(reader, column).map_batches(
+        partial, batch_format="pyarrow").take_all()
+    if not parts:
+        return {"count": 0, "min": None, "max": None, "sum": 0.0,
+                "avg": None, "sum_of_squares": 0.0, "variance": None,
+                "std_deviation": None}
+    n = int(sum(p["n"] for p in parts))
+    s = float(sum(p["s"] for p in parts))
+    ss = float(sum(p["ss"] for p in parts))
+    avg = s / n
+    var = max(0.0, ss / n - avg * avg)
+    return {"count": n, "min": min(p["mn"] for p in parts),
+            "max": max(p["mx"] for p in parts), "sum": s, "avg": avg,
+            "sum_of_squares": ss, "variance": var,
+            "std_deviation": var ** 0.5}

@@ -1673,3 +1673,21 @@ def q_ann_ivf(sf_dir: str) -> pd.DataFrame:
     out = out[["vec_id", "cosine"]].copy()
     out["cosine"] = round_away(out["cosine"], 4)
     return out.reset_index(drop=True)
+
+
+def q_extended_stats(sf_dir: str) -> pd.DataFrame:
+    """ES extended_stats over the n_chars docvalue: count/sum/avg plus
+    population variance and std deviation (exact partial merge from
+    per-batch (n, Σx, Σx²) rows)."""
+    from ..index.aggs import extended_stats_agg
+    from ..index.reader import IndexReader
+
+    out = extended_stats_agg(IndexReader(_fielded_index_for(sf_dir)),
+                             "n_chars")
+    return pd.DataFrame({
+        "n": [int(out["count"])],
+        "sm": round_away([out["sum"]], 6),
+        "avg": round_away([out["avg"]], 6),
+        "variance": round_away([out["variance"]], 4),
+        "std_dev": round_away([out["std_deviation"]], 4),
+    })

@@ -236,11 +236,32 @@ class MinHashStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = ["" if t is None else t for t in batch[self.text_col].to_pylist()]
-        sigs = np.empty((len(texts), self.num_hashes), np.uint64)
-        for i, t in enumerate(texts):
-            sigs[i] = _minhash(_tokenize_shingles(t, self.k), self.a, self.b)
+        n = len(texts)
+        sigs = np.empty((n, self.num_hashes), np.uint64)
+        if n:
+            # batched: ONE shingle pass for the whole batch, then the
+            # (num_hashes × shingles) universal-hash product per doc-aligned
+            # chunk with a segmented min (reduceat) — no per-doc Python loop,
+            # chunk size caps the product matrix at ~64 MB
+            flat, offs = _tokenize_shingles_batch(texts, self.k)
+            x_all = (flat % np.uint64(_M61)).astype(np.uint64)
+            # chunk sized so each mulmod temporary (~num_hashes x chunk
+            # x 8 B) stays cache-resident — a RAM-streaming chunk measured
+            # SLOWER than the per-doc loop (12+ big temporaries per mulmod)
+            _CHUNK = 1 << 13
+            i = 0
+            while i < n:
+                j = i + 1
+                while j < n and offs[j + 1] - offs[i] <= _CHUNK:
+                    j += 1
+                x = x_all[offs[i]:offs[j]]
+                prod = (_mulmod_m61(self.a[:, None], x[None, :])
+                        + self.b[:, None]) % np.uint64(_M61)
+                starts = (offs[i:j] - offs[i]).astype(np.int64)
+                sigs[i:j] = np.minimum.reduceat(prod, starts, axis=1).T
+                i = j
         offsets = pa.array(
-            np.arange(0, (len(texts) + 1) * self.num_hashes, self.num_hashes,
+            np.arange(0, (n + 1) * self.num_hashes, self.num_hashes,
                       dtype=np.int64), pa.int64())
         return pa.table({
             self.id_col: batch[self.id_col],

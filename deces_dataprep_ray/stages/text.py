@@ -27,6 +27,10 @@ _STOP = {
 }
 
 _PUNCT_RE = re.compile(r"[^\w\s]", re.UNICODE)
+# RE2 (Arrow compute) equivalent of Python's [^\w\s]: RE2's \w/\s are
+# ASCII-only, so spell the Unicode classes out — verified char-by-char
+# against the Python regex over the BMP in tests
+_PUNCT_RE2 = r"[^\p{L}\p{N}_\t\n\x0b\f\r\x1c-\x1f\x85\p{Z}]"
 _WS_SPLIT = re.compile(r"\s+")
 
 
@@ -53,31 +57,54 @@ class QualityScore(Stage):
     stopwords: frozenset = frozenset(_STOP["en"])
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = ["" if t is None else t for t in batch[self.text_col].to_pylist()]
-        n = len(texts)
-        n_chars = np.empty(n, np.int64)
-        n_tokens = np.empty(n, np.int64)
-        punct_ratio = np.empty(n, np.float64)
-        stop_ratio = np.empty(n, np.float64)
-        mean_tok_len = np.empty(n, np.float64)
-        stop = self.stopwords
-        for i, t in enumerate(texts):
-            n_chars[i] = len(t)
-            toks = [w for w in _WS_SPLIT.split(t.lower()) if w]
-            n_tokens[i] = len(toks)
-            punct_ratio[i] = (len(_PUNCT_RE.findall(t)) / len(t)) if t else 0.0
-            if toks:
-                stop_ratio[i] = sum(1 for w in toks if w in stop) / len(toks)
-                mean_tok_len[i] = sum(len(w) for w in toks) / len(toks)
-            else:
-                stop_ratio[i] = 0.0
-                mean_tok_len[i] = 0.0
+        import pyarrow.compute as pc
+
+        n = len(batch)
+        col = pc.fill_null(batch[self.text_col].combine_chunks(), "")
+        # Arrow kernels end-to-end (the LangId rework's pattern): lengths and
+        # punctuation counts per doc, tokens via lower + whitespace split,
+        # per-doc folds as cumsum diffs at the doc offsets — no Python loop
+        n_chars = pc.utf8_length(col).to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        n_punct = pc.count_substring_regex(col, _PUNCT_RE2).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        parts = pc.utf8_split_whitespace(pc.utf8_lower(col))
+        flat = pc.list_flatten(parts)
+        lens_all = pc.list_value_length(parts).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        offsets = np.zeros(n + 1, np.int64)
+        np.cumsum(lens_all, out=offsets[1:])
+
+        csum = np.empty(len(flat) + 1, np.int64)
+        csum[0] = 0
+
+        def per_doc(vals: np.ndarray) -> np.ndarray:
+            np.cumsum(vals, out=csum[1:])
+            return (csum[offsets[1:]] - csum[offsets[:-1]]).astype(np.float64)
+
+        n_tokens = lens_all.astype(np.float64)
+        stop_cnt = np.zeros(n, np.float64)
+        tok_chars = np.zeros(n, np.float64)
+        if len(flat):
+            # the Arrow split emits '' at text edges — drop from the token
+            # count, the stopword hits and the char sum arithmetically
+            tlen = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+            tok_chars = per_doc(tlen)  # '' contributes 0 chars already
+            empties = pc.equal(flat, "")
+            if pc.any(empties).as_py():
+                n_tokens -= per_doc(empties.to_numpy(zero_copy_only=False))
+            memb = pc.is_in(
+                flat, value_set=pa.array(sorted(self.stopwords)).cast(
+                    flat.type)).to_numpy(zero_copy_only=False)
+            stop_cnt = per_doc(memb)
+        safe_t = np.maximum(n_tokens, 1.0)
+        safe_c = np.maximum(n_chars, 1).astype(np.float64)
         for name, arr, typ in (
             ("q_n_chars", n_chars, pa.int64()),
-            ("q_n_tokens", n_tokens, pa.int64()),
-            ("q_punct_ratio", punct_ratio, pa.float64()),
-            ("q_stop_ratio", stop_ratio, pa.float64()),
-            ("q_mean_tok_len", mean_tok_len, pa.float64()),
+            ("q_n_tokens", n_tokens.astype(np.int64), pa.int64()),
+            ("q_punct_ratio", n_punct / safe_c, pa.float64()),
+            ("q_stop_ratio", stop_cnt / safe_t, pa.float64()),
+            ("q_mean_tok_len", tok_chars / safe_t, pa.float64()),
         ):
             batch = batch.append_column(name, pa.array(arr, typ))
         return batch

@@ -223,3 +223,36 @@ def test_repetition_stats():
         assert out["top_unigram_frac"][i].as_py() == pytest.approx(top1), t
         assert out["dup_word_frac"][i].as_py() == pytest.approx(dupf), t
         assert out["top_bigram_frac"][i].as_py() == pytest.approx(top2), t
+
+
+def test_punct_re2_matches_python_class():
+    """_PUNCT_RE2 (Arrow/RE2) must classify every BMP char exactly like the
+    Python [^\\w\\s] class the scalar implementation used (RE2's \\w/\\s are
+    ASCII-only — the spelled-out Unicode classes are the contract)."""
+    import pyarrow.compute as pc
+
+    from deces_dataprep_ray.stages.text import _PUNCT_RE, _PUNCT_RE2
+
+    chars = [chr(c) for c in range(32, 0x3000)]
+    got = pc.count_substring_regex(pa.array(chars), _PUNCT_RE2).to_pylist()
+    want = [1 if _PUNCT_RE.match(ch) else 0 for ch in chars]
+    assert got == want
+
+
+def test_quality_unicode_and_edge_cases():
+    """Vectorized QualityScore vs the scalar formulas on unicode + edges."""
+    import re as _re
+
+    texts = ["", "   ", "the quick, brown fox!", "é!é?é", "a\x0bb",
+             "C'est l'été — déjà!", "123 _x_ ..."]
+    out = QualityScore()(pa.table({"text": texts})).to_pandas()
+    ws = _re.compile(r"\s+")
+    punct = _re.compile(r"[^\w\s]", _re.UNICODE)
+    for i, t in enumerate(texts):
+        toks = [w for w in ws.split(t.lower()) if w]
+        assert out["q_n_chars"][i] == len(t)
+        assert out["q_n_tokens"][i] == len(toks)
+        want_p = (len(punct.findall(t)) / len(t)) if t else 0.0
+        assert abs(out["q_punct_ratio"][i] - want_p) < 1e-12
+        want_m = (sum(len(w) for w in toks) / len(toks)) if toks else 0.0
+        assert abs(out["q_mean_tok_len"][i] - want_m) < 1e-12
