@@ -157,8 +157,12 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool) -> dict:
             paths, index_dir,
             # FIXED across parallelism levels: the scaling protocol compares
             # the SAME job at 8 and 32 CPUs, so the physical plan (bucket
-            # count = reduce partitions) must not depend on the CPU count
-            num_buckets=64,
+            # count = reduce partitions) must not depend on the CPU count.
+            # 128 (not 64): at 32 cpus 64 reduce partitions under-parallelize
+            # the exchange — measured 4x interleaved at 400k docs, postings
+            # 10.1 s @64 vs 6.1-6.3 s @128 (neutral at 8 cpus). Overridable
+            # via BENCH_NUM_BUCKETS for A/B.
+            num_buckets=int(os.environ.get("BENCH_NUM_BUCKETS", "128")),
             salt_shards=8,
             batch_size=4096,
         )
