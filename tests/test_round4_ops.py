@@ -301,3 +301,36 @@ def test_duplicate_components_empty():
         "id_a": pd.Series([], dtype=np.int64),
         "id_b": pd.Series([], dtype=np.int64)}))
     assert duplicate_components(pairs).count() == 0
+
+
+def test_msearch_dispatches_round4_types(pos_corpus):
+    from deces_dataprep_ray.index.query import (
+        search_bool_prefix,
+        search_boosting,
+        search_query_string,
+        search_span_near,
+    )
+    from deces_dataprep_ray.index.service import QueryService
+
+    df, idx = pos_corpus
+    r = IndexReader(idx)
+    svc = QueryService(idx, num_workers=2)
+    try:
+        out = svc.msearch([
+            {"type": "span_near", "terms": ["data", "window"], "slop": 3},
+            {"type": "boosting", "positive": "data spark",
+             "negative": "key", "negative_boost": 0.3},
+            {"type": "bool_prefix", "query": "data spark win",
+             "max_expansions": 4096},
+            {"type": "query_string", "query": '"data spark" window -key'},
+            {"type": "span_near"},  # missing required key -> error slot
+        ])
+        assert out[0] == search_span_near(r, ["data", "window"], 10, slop=3)
+        assert out[1] == search_boosting(r, "data spark", "key", 10,
+                                         negative_boost=0.3)
+        assert out[2] == search_bool_prefix(r, "data spark win", 10,
+                                            max_expansions=4096)
+        assert out[3] == search_query_string(r, '"data spark" window -key')
+        assert "error" in out[4]  # per-slot isolation, batch survives
+    finally:
+        svc.shutdown()
