@@ -193,3 +193,86 @@ def test_decay_formula_properties(origin, scale, offset, shape):
     assert m[0] == 1.0 and m[1] == 1.0 and m[2] == 1.0  # inside the band
     np.testing.assert_allclose(m[3], decay, rtol=1e-12)  # the half point
     assert np.all(np.diff(m) <= 1e-15)  # nonincreasing
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.text(alphabet="ab cde", min_size=0, max_size=120),
+                min_size=0, max_size=40),
+       st.integers(min_value=2, max_value=8))
+def test_shingle_batch_kernel_equals_scalar(texts, k):
+    """_tokenize_shingles_batch must reproduce the per-doc kernel exactly
+    for ANY text list and shingle width (padding, dups, unicode-free and
+    boundary cases alike)."""
+    import numpy as np
+
+    from deces_dataprep_ray.stages.dedup import (
+        _tokenize_shingles,
+        _tokenize_shingles_batch,
+    )
+
+    flat, offs = _tokenize_shingles_batch(texts, k)
+    assert len(offs) == len(texts) + 1
+    for i, t in enumerate(texts):
+        assert np.array_equal(_tokenize_shingles(t, k),
+                              flat[offs[i]:offs[i + 1]])
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=10**6), min_size=1,
+                max_size=200, unique=True),
+       st.text(alphabet="abc", max_size=3))
+def test_hash_split_properties(keys, salt):
+    """HashSplit: labels come only from the configured names, and the
+    assignment depends on (salt, key) alone — element order and batch
+    composition are irrelevant."""
+    import pyarrow as pa
+
+    from deces_dataprep_ray.stages.text import HashSplit
+
+    st_ = HashSplit(key_col="k", salt=salt,
+                    fractions=(("a", 0.5), ("b", 0.3), ("c", 0.2)))
+    out = st_(pa.table({"k": keys}))["split"].to_pylist()
+    assert set(out) <= {"a", "b", "c"}
+    rev = st_(pa.table({"k": list(reversed(keys))}))["split"].to_pylist()
+    assert rev == list(reversed(out))
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 60), st.integers(0, 60)),
+                min_size=0, max_size=60))
+def test_duplicate_components_invariants(edges):
+    """Every edge's endpoints share a component; each component's label is
+    the minimum of its members (checked against a union-find oracle)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from deces_dataprep_ray.stages.dedup import duplicate_components
+
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = pd.DataFrame({
+        "id_a": pd.Series([a for a, _ in edges], dtype="int64"),
+        "id_b": pd.Series([b for _, b in edges], dtype="int64"),
+    })
+    got = duplicate_components(rd.from_pandas(pairs)).to_pandas()
+    if not edges:
+        assert len(got) == 0
+        return
+    lab = dict(zip(got["doc_id"].astype(int), got["component"].astype(int)))
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    groups: dict[int, list[int]] = {}
+    for x in parent:
+        groups.setdefault(find(x), []).append(x)
+    want = {x: min(members) for r, members in groups.items() for x in members}
+    assert lab == want
