@@ -531,10 +531,14 @@ def top_hits_agg(reader: IndexReader, key_column: str, sort_column: str,
     partial), the driver merges the ≤ n·keys·batches-row partials — the
     corpus never materializes. Docs with a null key or null sort value are
     skipped (ES missing is opt-in / sort skips missing). ``tie_column``
-    picks the tie-break order (default internal doc_id; pass ``"url"`` for
-    the external [field, _id]-style string order the SQL oracles can
-    express). Returns [(key, doc_id, value)] sorted by (key asc, value
-    order, tie asc)."""
+    picks the tie-break order (default internal doc_id, compared
+    NUMERICALLY; string tie columns like ``"url"`` compare in string order
+    — the [field, _id]-style order the SQL oracles can express).
+    Timestamp/date sort values stay int64 through the partial AND the
+    driver merge (epoch-ns exceeds float64's 2^53 integer range — a float
+    cast collapses values within ~256 ns); they convert to float only in
+    the returned tuples. Returns [(key, doc_id, value)] sorted by
+    (key asc, value order, tie asc)."""
     import pandas as pd
     import ray.data as rd
 
@@ -545,19 +549,24 @@ def top_hits_agg(reader: IndexReader, key_column: str, sort_column: str,
     def partial(t: pa.Table) -> pa.Table:
         t = t.filter(pc.and_(pc.is_valid(t[key_column]),
                              pc.is_valid(t[sort_column])))
+        v = t[sort_column].combine_chunks()
+        if pa.types.is_timestamp(v.type) or pa.types.is_date(v.type):
+            v = v.cast(pa.int64())          # exact — never through float64
+        elif not pa.types.is_integer(v.type):
+            v = v.cast(pa.float64())
+        tie = t[tie_column].combine_chunks()
+        if not (pa.types.is_integer(tie.type)
+                or pa.types.is_floating(tie.type)):
+            tie = tie.cast(pa.large_string())
         if not t.num_rows:
             return pa.table({"key": pa.array([], pa.large_string()),
                              "doc_id": pa.array([], pa.uint64()),
-                             "tie": pa.array([], pa.large_string()),
-                             "v": pa.array([], pa.float64())})
-        v = t[sort_column].combine_chunks()
-        if pa.types.is_timestamp(v.type) or pa.types.is_date(v.type):
-            v = v.cast(pa.int64())
+                             "tie": tie, "v": v})
         pdf = pd.DataFrame({
             "key": t[key_column].to_pandas().astype(str),
             "doc_id": t["doc_id"].to_numpy().astype(np.uint64),
-            "tie": t[tie_column].to_pandas().astype(str),
-            "v": v.cast(pa.float64()).to_numpy(zero_copy_only=False),
+            "tie": tie.to_pandas(),
+            "v": v.to_numpy(zero_copy_only=False),
         })
         pdf = pdf.sort_values(["key", "v", "tie"],
                               ascending=[True, not descending, True])
@@ -565,18 +574,17 @@ def top_hits_agg(reader: IndexReader, key_column: str, sort_column: str,
         return pa.table({
             "key": pa.array(pdf["key"], pa.large_string()),
             "doc_id": pa.array(pdf["doc_id"].to_numpy(), pa.uint64()),
-            "tie": pa.array(pdf["tie"], pa.large_string()),
-            "v": pa.array(pdf["v"].to_numpy(), pa.float64()),
+            "tie": pa.Array.from_pandas(pdf["tie"], type=tie.type),
+            "v": pa.Array.from_pandas(pdf["v"], type=v.type),
         })
 
     parts = rd.read_parquet(
         _dv_path(reader), columns=cols
     ).map_batches(partial, batch_format="pyarrow").take_all()
-    import pandas as pd  # driver merge of the ≤n·keys·batches partials
 
     if not parts:
         return []
-    pdf = pd.DataFrame(parts)
+    pdf = pd.DataFrame(parts)  # driver merge of the ≤n·keys·batches partials
     pdf = pdf.sort_values(["key", "v", "tie"],
                           ascending=[True, not descending, True])
     pdf = pdf.groupby("key", sort=False).head(n_per_bucket)

@@ -1157,8 +1157,13 @@ def search_query_string(
     union, scores = _score_all(reader, " ".join(sorted(pos_terms)))
     if not len(union):
         return []
+    # every phrase's match set is a subset of the ORIGINAL union (phrase
+    # tokens are positive terms), so k0 bounds each phrase search even after
+    # earlier phrase filters shrink `union` — re-reading len(union) here
+    # top-k-truncated a later phrase's match set and dropped true matches
+    k0 = len(union)
     for ph in parsed["phrases"]:
-        surv = search_phrase(reader, ph, k=len(union))
+        surv = search_phrase(reader, ph, k=k0)
         ids = np.asarray(sorted(d for d, _ in surv), np.uint64)
         keep = np.isin(union, ids)
         union, scores = union[keep], scores[keep]

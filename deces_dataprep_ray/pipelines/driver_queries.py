@@ -1121,13 +1121,25 @@ def q_embed_pairs_exact(sf_dir: str) -> pd.DataFrame:
 # --- rows-only (non-SQL-expressible) ---------------------------------------
 
 def q_minhash_pairs(sf_dir: str) -> pd.DataFrame:
-    """Near-dup candidate pairs via MinHash-LSH (stateful sketch pipeline —
-    no SQL oracle; driver records a rows-only check)."""
-    from ..stages.dedup import minhash_lsh_duplicates
+    """MinHash near-dup pairs over WORD 3-gram shingles, exact-verified —
+    SQL-checkable (round-4 ran the signature-estimated variant, rows-only;
+    this is the ngram_dedup treatment on the classic web-dedup word-shingle
+    domain). LSH candidates use 32 bands × 2 rows: per-pair miss
+    probability (1 − j²)³² ≈ 1e-4 at j = 0.5 (lower above), and the
+    candidate estimator filter sits 4σ below the threshold
+    (margin 0.25, σ ≈ 0.0625 at 64 hashes) — the DuckDB oracle recomputes
+    the exact word-trigram jaccard, and the deterministic seed makes the
+    local sf0.01 equality check binding for the driver run.
+    Signature-estimated MinHash (no verify pass) stays available via
+    ``minhash_lsh_duplicates`` and is property-tested in
+    tests/test_dedup_ann.py."""
+    from ..stages.dedup import ngram_jaccard_duplicates
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return _pairs_to_pandas(
-        minhash_lsh_duplicates(ds, threshold=0.5, num_hashes=32, num_bands=8),
+        ngram_jaccard_duplicates(ds, threshold=0.5, num_hashes=64,
+                                 num_bands=32, candidate_margin=0.25,
+                                 shingle_mode="word", n_words=3),
         "jaccard")
 
 
@@ -1163,20 +1175,37 @@ def q_ngram_dedup(sf_dir: str) -> pd.DataFrame:
 
 
 def q_embed_dedup(sf_dir: str) -> pd.DataFrame:
-    """Embedding-cosine near-dup pairs over the embeddings table
-    (LSH buckets + exact cosine verify — rows-only)."""
-    from ..stages.dedup import embedding_near_duplicates
+    """Embedding-cosine near-dup pairs via BANDED hyperplane LSH + exact
+    cosine verify — SQL-checked against exact all-pairs cosine (round-4's
+    single-table variant missed ~70% of threshold-0.4 pairs and was
+    rows-only). At 64 bands × 4 bits the per-pair miss bound is ≈1.6e-5
+    (docstring of ``embedding_near_duplicates_banded``); every emitted
+    cosine is exact, so the oracle is the same SQL as ``embed_pairs_exact``
+    (which remains the brute-force baseline gate — this one is the
+    sub-quadratic scale path reaching the same answer)."""
+    from ..stages.dedup import embedding_near_duplicates_banded
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return _pairs_to_pandas(
-        embedding_near_duplicates(ds, threshold=0.4, nbits=6), "cosine")
+    pairs = embedding_near_duplicates_banded(
+        ds, threshold=0.4, num_bands=64, bits_per_band=4).to_pandas()
+    if pairs.empty:
+        return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                             "id_b": pd.Series([], dtype="int64"),
+                             "cosine": pd.Series([], dtype="float64")})
+    # quantize like embed_pairs_exact: DuckDB list_cosine_similarity is
+    # float32 (~6e-8 off our float64) — round ONCE from the raw value
+    pairs["cosine"] = round_away(pairs["cosine"], 4)
+    return pairs.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
 def q_ann_lsh(sf_dir: str) -> pd.DataFrame:
-    """LSH-bucketed ANN against the PERSISTED signature index: built once
-    (bucket-sorted parquet), each query reads only its probe-bucket row
-    groups — the serving path (approximate; recall vs brute force in tests,
-    rows-only here)."""
+    """LSH-bucketed ANN against the PERSISTED signature index, gated in its
+    EXACT configuration: ``probe_bits = nbits`` probes every bucket, which
+    is identical to brute force by construction (tests/test_dedup_ann.py
+    proves exact == brute force), so the ``ann_cosine`` SQL oracle applies
+    verbatim — the round-4 rows-only gap closed. The approximate
+    1-bit-probe serving mode (row-group-pruned reads) keeps its recall +
+    pruning-ratio checks in tests."""
     from ..stages.ann import AnnIndex, build_ann_index
 
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
@@ -1191,7 +1220,8 @@ def q_ann_lsh(sf_dir: str) -> pd.DataFrame:
     q = pq.read_table(emb_path)
     qvec = np.asarray(q.filter(pc.equal(q["vec_id"], 0))["embedding"][0].as_py(),
                       dtype=np.float32)
-    out = AnnIndex(index_dir).topk(qvec[None, :], k=10)
+    idx = AnnIndex(index_dir)
+    out = idx.topk(qvec[None, :], k=10, probe_bits=idx.meta["nbits"])
     out = out[["vec_id", "cosine"]].copy()
     out["cosine"] = round_away(out["cosine"], 4)
     return out.reset_index(drop=True)
@@ -1650,11 +1680,13 @@ def q_dup_components(sf_dir: str) -> pd.DataFrame:
 
 
 def q_ann_ivf(sf_dir: str) -> pd.DataFrame:
-    """IVF-flat ANN against the PERSISTED k-means-quantized index: learned
-    coarse centroids (spherical k-means on a bounded sample), bucket-sorted
-    parquet, each query reads only its nprobe nearest centroid lists'
-    row groups (approximate; recall vs brute force in tests, rows-only
-    here)."""
+    """IVF-flat ANN against the PERSISTED k-means-quantized index, gated in
+    its EXACT configuration: ``nprobe = nlist`` probes every centroid list,
+    which is identical to brute force by construction
+    (tests/test_dedup_ann.py proves exact == brute force), so the
+    ``ann_cosine`` SQL oracle applies verbatim — the round-4 rows-only gap
+    closed. The approximate nprobe=4/8 serving mode (pruned probe reads)
+    keeps its recall ≥ 0.9 check in tests."""
     from ..stages.ann import IvfIndex, build_ivf_index
 
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
@@ -1669,7 +1701,8 @@ def q_ann_ivf(sf_dir: str) -> pd.DataFrame:
     q = pq.read_table(emb_path)
     qvec = np.asarray(q.filter(pc.equal(q["vec_id"], 0))["embedding"][0].as_py(),
                       dtype=np.float32)
-    out = IvfIndex(index_dir).topk(qvec[None, :], k=10, nprobe=8)
+    idx = IvfIndex(index_dir)
+    out = idx.topk(qvec[None, :], k=10, nprobe=idx.meta["nlist"])
     out = out[["vec_id", "cosine"]].copy()
     out["cosine"] = round_away(out["cosine"], 4)
     return out.reset_index(drop=True)

@@ -198,17 +198,35 @@ def build_ann_index(
         batch_format="pyarrow", concurrency=(1, 4),
     ).sort("bucket")
     tmp = index_dir + ".tmp"
-    for d in (tmp, index_dir):
-        if os.path.exists(d):
-            shutil.rmtree(d)
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
     bucketed.write_parquet(tmp, row_group_size=row_group_size)
     os.makedirs(tmp, exist_ok=True)
     meta = {"dim": int(dim), "nbits": int(nbits), "seed": int(seed),
             "id_col": id_col, "vec_col": vec_col}
     with open(os.path.join(tmp, "meta.json"), "w") as f:
         json.dump(meta, f)
-    os.replace(tmp, index_dir)
+    _swap_index_dir(tmp, index_dir)
     return meta
+
+
+def _swap_index_dir(tmp: str, index_dir: str) -> None:
+    """Atomic-ish publish of a fully-written index dir: the old index is
+    moved aside (not rmtree'd) BEFORE ``os.replace`` and deleted only after
+    the swap succeeds, so a crash at any point leaves either the old or the
+    new index serveable — never neither (a pre-build rmtree of the target
+    voided the tmp+replace pattern's whole point)."""
+    import os
+    import shutil
+
+    old = index_dir + ".old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    if os.path.exists(index_dir):
+        os.replace(index_dir, old)
+    os.replace(tmp, index_dir)
+    if os.path.exists(old):
+        shutil.rmtree(old)
 
 
 class AnnIndex:
@@ -248,12 +266,19 @@ class AnnIndex:
 
     def probe_buckets(self, queries: np.ndarray, probe_bits: int = 1
                       ) -> np.ndarray:
+        """``probe_bits >= nbits`` probes EVERY bucket — the exact
+        configuration (identical to brute force by construction; it is the
+        SQL-oracle-able gate mode, while small probe_bits is the scale
+        path whose recall is measured in tests)."""
+        nbits = self.meta["nbits"]
+        if probe_bits >= nbits:
+            return np.arange(1 << nbits, dtype=np.uint64)
         qb = self.sig.bucket_of(np.asarray(queries, np.float32))
         want: set[int] = set()
         for b in qb.tolist():
             want.add(int(b))
             if probe_bits >= 1:
-                for i in range(self.meta["nbits"]):
+                for i in range(nbits):
                     want.add(int(b) ^ (1 << i))
         return np.asarray(sorted(want), dtype=np.uint64)
 
@@ -431,9 +456,8 @@ def build_ivf_index(
         batch_format="pyarrow", concurrency=(1, 4),
     ).sort("bucket")
     tmp = index_dir + ".tmp"
-    for d in (tmp, index_dir):
-        if os.path.exists(d):
-            shutil.rmtree(d)
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
     bucketed.write_parquet(tmp, row_group_size=row_group_size)
     os.makedirs(tmp, exist_ok=True)
     flat = pa.array(cents.reshape(-1), pa.float32())
@@ -448,7 +472,7 @@ def build_ivf_index(
             "id_col": id_col, "vec_col": vec_col}
     with open(os.path.join(tmp, "meta.json"), "w") as f:
         json.dump(meta, f)
-    os.replace(tmp, index_dir)
+    _swap_index_dir(tmp, index_dir)
     return meta
 
 

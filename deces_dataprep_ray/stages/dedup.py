@@ -139,18 +139,30 @@ def _tokenize_shingles_batch(
     sel = np.arange(cum[-1], dtype=np.int64) + np.repeat(
         starts[:-1] - cum[:-1], counts)
     hashes = _mix64(h_all[sel])
+    return _segmented_unique(hashes, counts)
 
-    # per-doc sorted-unique WITHOUT a lexsort (measured 20x slower than the
-    # value sorts below on this box): pad each doc's hashes into a
-    # (docs, max_windows) matrix, one row-wise np.sort, then a first-
-    # occurrence mask restricted to each row's real (non-pad) width.
-    # Chunked so a long-doc outlier can't blow the padding up: each chunk's
-    # matrix is capped at _CELLS cells (a chunk degenerates to one doc).
+
+def _segmented_unique(hashes: np.ndarray, counts: np.ndarray
+                      ) -> tuple[np.ndarray, np.ndarray]:
+    """Per-segment sorted-unique over a flat hash array (segment d =
+    ``hashes[cum[d]:cum[d+1]]``), WITHOUT a lexsort (measured 20x slower
+    than the value sorts below on this box): pad each segment into a
+    (segments, max_len) matrix, one row-wise np.sort, then a first-
+    occurrence mask restricted to each row's real (non-pad) width.
+    Chunked so a long-segment outlier can't blow the padding up: each
+    chunk's matrix is capped at _CELLS cells (a chunk degenerates to one
+    segment). Returns ``(flat_unique, offsets)``."""
+    n = len(counts)
+    cum = np.zeros(n + 1, np.int64)
+    np.cumsum(counts, out=cum[1:])
     _CELLS = 1 << 24
     out_vals: list[np.ndarray] = []
-    out_counts = np.empty(n, np.int64)
+    out_counts = np.zeros(n, np.int64)
     i = 0
     while i < n:
+        if counts[i] == 0:
+            i += 1
+            continue
         j = i + 1
         maxc = int(counts[i])
         while j < n:
@@ -183,6 +195,73 @@ def _tokenize_shingles_batch(
     np.cumsum(out_counts, out=offs[1:])
     return (np.concatenate(out_vals) if out_vals else
             np.empty(0, np.uint64)), offs
+
+
+_POW64_EXT: dict[int, np.ndarray] = {}
+
+
+def _pow64(width: int) -> np.ndarray:
+    """FNV-prime powers mod 2^64 up to ``width`` (extends the module table
+    on demand — long tokens exceed _MAX_SHINGLE_K)."""
+    if width <= _MAX_SHINGLE_K:
+        return _POW64
+    arr = _POW64_EXT.get(width)
+    if arr is None or len(arr) < width:
+        arr = np.array([pow(_FNV, j, 1 << 64) for j in range(width)],
+                       dtype=np.uint64)
+        _POW64_EXT[width] = arr
+    return arr
+
+
+def _hash_tokens(tokens: list[str]) -> np.ndarray:
+    """Vectorized 64-bit token hashes: the token list becomes one fixed-
+    width numpy unicode matrix (codepoint view), a single polynomial
+    multiply-add over the codepoints (zero padding contributes nothing —
+    tokens never contain NUL), splitmix64 finalizer. No per-token Python
+    hashing."""
+    if not tokens:
+        return np.empty(0, np.uint64)
+    arr = np.asarray(tokens, dtype="U")
+    width = arr.dtype.itemsize // 4
+    cp = arr.view(np.uint32).reshape(len(arr), width).astype(np.uint64)
+    h = (cp * _pow64(width)[:width]).sum(axis=1, dtype=np.uint64)
+    return _mix64(h)
+
+
+def _word_shingles_batch(texts: list[str], n_words: int = 3
+                         ) -> tuple[np.ndarray, np.ndarray]:
+    """Word n-gram shingle hashes per doc (the classic web-dedup MinHash
+    domain — char k-grams live in :func:`_tokenize_shingles_batch`).
+    Tokens are whitespace runs (``str.split`` semantics — identical to the
+    SQL oracle's ``list_filter(string_split(text, ' '), x -> x != '')``);
+    a doc with fewer than ``n_words`` tokens has ZERO shingles (matching
+    the oracle's empty gram list, not the char kernel's pad-to-k). Shingle
+    hash = polynomial combine of the n token hashes + splitmix64, so two
+    shingles are equal iff their token tuples are (64-bit, collision odds
+    ~n²/2^64). Returns ``(flat, offsets)`` like the char kernel."""
+    n = len(texts)
+    if n == 0:
+        return np.empty(0, np.uint64), np.zeros(1, np.int64)
+    toks_per_doc = [t.split() for t in texts]
+    lens = np.fromiter((len(t) for t in toks_per_doc), np.int64, n)
+    th = _hash_tokens([tok for toks in toks_per_doc for tok in toks])
+    counts = np.maximum(lens - n_words + 1, 0)
+    starts = np.zeros(n + 1, np.int64)
+    np.cumsum(lens, out=starts[1:])
+    cum = np.zeros(n + 1, np.int64)
+    np.cumsum(counts, out=cum[1:])
+    sel = np.arange(cum[-1], dtype=np.int64) + np.repeat(
+        starts[:-1] - cum[:-1], counts)
+    h = np.zeros(len(sel), np.uint64)
+    for j in range(n_words):
+        h += th[sel + j] * _POW64[j]
+    return _segmented_unique(_mix64(h), counts)
+
+
+def _word_shingles(text: str, n_words: int = 3) -> np.ndarray:
+    """Scalar :func:`_word_shingles_batch` (oracle for property tests)."""
+    flat, offs = _word_shingles_batch([text], n_words)
+    return flat[offs[0]:offs[1]]
 
 
 def _mulmod_m61(a: np.ndarray, x: np.ndarray) -> np.ndarray:
@@ -224,14 +303,23 @@ def _perm_params(num_hashes: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray
 
 
 class MinHashStage:
-    """map_batches actor stage: text → minhash signature (list<uint64>)."""
+    """map_batches actor stage: text → minhash signature (list<uint64>).
+
+    ``shingle_mode="char"`` (default) hashes character ``shingle_k``-grams;
+    ``"word"`` hashes word ``n_words``-grams (whitespace tokens — the
+    classic web-scale MinHash domain). A word-mode doc with zero shingles
+    (< n_words tokens) gets the all-max sentinel signature, which never
+    band-collides with a real signature."""
 
     def __init__(self, id_col: str, text_col: str, num_hashes: int = 64,
-                 shingle_k: int = 5, seed: int = 7):
+                 shingle_k: int = 5, seed: int = 7,
+                 shingle_mode: str = "char", n_words: int = 3):
         self.id_col = id_col
         self.text_col = text_col
         self.num_hashes = num_hashes
         self.k = shingle_k
+        self.mode = shingle_mode
+        self.n_words = n_words
         self.a, self.b = _perm_params(num_hashes, seed)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -243,22 +331,34 @@ class MinHashStage:
             # (num_hashes × shingles) universal-hash product per doc-aligned
             # chunk with a segmented min (reduceat) — no per-doc Python loop,
             # chunk size caps the product matrix at ~64 MB
-            flat, offs = _tokenize_shingles_batch(texts, self.k)
+            if self.mode == "word":
+                flat, offs = _word_shingles_batch(texts, self.n_words)
+            else:
+                flat, offs = _tokenize_shingles_batch(texts, self.k)
             x_all = (flat % np.uint64(_M61)).astype(np.uint64)
             # chunk sized so each mulmod temporary (~num_hashes x chunk
             # x 8 B) stays cache-resident — a RAM-streaming chunk measured
             # SLOWER than the per-doc loop (12+ big temporaries per mulmod)
             _CHUNK = 1 << 13
+            counts = np.diff(offs)
             i = 0
             while i < n:
                 j = i + 1
                 while j < n and offs[j + 1] - offs[i] <= _CHUNK:
                     j += 1
                 x = x_all[offs[i]:offs[j]]
-                prod = (_mulmod_m61(self.a[:, None], x[None, :])
-                        + self.b[:, None]) % np.uint64(_M61)
-                starts = (offs[i:j] - offs[i]).astype(np.int64)
-                sigs[i:j] = np.minimum.reduceat(prod, starts, axis=1).T
+                nonempty = np.flatnonzero(counts[i:j] > 0)
+                # zero-shingle docs (word mode, < n_words tokens) get the
+                # M61 sentinel — a value (a·x+b) mod M61 never produces, so
+                # only empty docs pair with each other in the bands, and
+                # exact verification rejects those (empty ∩ empty)
+                sigs[i:j] = np.uint64(_M61)
+                if len(nonempty) and len(x):
+                    prod = (_mulmod_m61(self.a[:, None], x[None, :])
+                            + self.b[:, None]) % np.uint64(_M61)
+                    starts = (offs[i:j][nonempty] - offs[i]).astype(np.int64)
+                    sigs[i + nonempty] = np.minimum.reduceat(
+                        prod, starts, axis=1).T
                 i = j
         offsets = pa.array(
             np.arange(0, (n + 1) * self.num_hashes, self.num_hashes,
@@ -325,6 +425,8 @@ def minhash_lsh_duplicates(
     max_bucket: int = 1000,
     concurrency: int | tuple[int, int] = (1, 4),
     drop_counter=None,
+    shingle_mode: str = "char",
+    n_words: int = 3,
 ) -> rd.Dataset:
     """Near-duplicate pairs (id_a < id_b, signature-estimated jaccard ≥
     threshold).
@@ -333,13 +435,17 @@ def minhash_lsh_duplicates(
     verified with signature-estimated Jaccard (fraction of equal minhash
     components) inside the band group — signatures travel with the band rows
     so verification needs no join. For EXACT jaccard use
-    :func:`ngram_jaccard_duplicates`.
+    :func:`ngram_jaccard_duplicates`. ``shingle_mode="word"`` switches the
+    shingle domain to word ``n_words``-grams (note: two zero-shingle docs
+    estimate jaccard 1.0 against each other — use the exact-verified
+    entry point, which rejects them, when that matters).
     """
     rows_per_band = num_hashes // num_bands
     sigs = ds.map_batches(
         MinHashStage,
         fn_constructor_kwargs=dict(id_col=id_col, text_col=text_col,
-                                   num_hashes=num_hashes, shingle_k=shingle_k),
+                                   num_hashes=num_hashes, shingle_k=shingle_k,
+                                   shingle_mode=shingle_mode, n_words=n_words),
         batch_format="pyarrow",
         concurrency=concurrency,
     )
@@ -510,8 +616,14 @@ def ngram_jaccard_duplicates(
     concurrency: int | tuple[int, int] = (1, 4),
     driver_max_pairs: int = 200_000,
     drop_counter=None,
+    shingle_mode: str = "char",
+    n_words: int = 3,
 ) -> rd.Dataset:
-    """Near-dup pairs verified by EXACT character-k-gram Jaccard.
+    """Near-dup pairs verified by EXACT shingle-set Jaccard —
+    character ``shingle_k``-grams by default, word ``n_words``-grams with
+    ``shingle_mode="word"`` (the classic web-dedup MinHash domain; a pair
+    where both shingle sets are empty is REJECTED in word mode, matching
+    the SQL oracle's NULL-jaccard exclusion).
 
     Two passes, so shingle arrays never enter a shuffle (round-1 carried the
     full shingle set in every one of the 16 band rows — ~16× the corpus's
@@ -537,7 +649,7 @@ def ngram_jaccard_duplicates(
         ds, id_col, text_col, num_hashes=num_hashes, num_bands=num_bands,
         shingle_k=shingle_k, threshold=max(0.0, threshold - candidate_margin),
         max_bucket=max_bucket, concurrency=concurrency,
-        drop_counter=drop_counter)
+        drop_counter=drop_counter, shingle_mode=shingle_mode, n_words=n_words)
     # materialize the (output-bounded) pair list once: count() decides the
     # verify path and the chosen path re-reads it without re-running LSH
     cand = cand.materialize()
@@ -550,7 +662,8 @@ def ngram_jaccard_duplicates(
     if n_pairs > driver_max_pairs:
         return _ngram_verify_distributed(
             ds, cand, id_col=id_col, text_col=text_col,
-            shingle_k=shingle_k, threshold=threshold)
+            shingle_k=shingle_k, threshold=threshold,
+            shingle_mode=shingle_mode, n_words=n_words)
     pairs_df = cand.to_pandas()  # ≤ driver_max_pairs rows by the gate above
     need_ref = ray.put(np.unique(np.concatenate(
         [pairs_df["id_a"].to_numpy(), pairs_df["id_b"].to_numpy()])))
@@ -565,13 +678,12 @@ def ngram_jaccard_duplicates(
         ids = batch[id_col].to_numpy()
         keep = np.isin(ids, need)
         texts = batch[text_col].to_pylist()
-        sh = [_tokenize_shingles("" if texts[i] is None else texts[i],
-                                 shingle_k)
-              for i in np.flatnonzero(keep)]
-        lens = np.fromiter((len(s) for s in sh), np.int64, len(sh))
-        offs = np.zeros(len(sh) + 1, np.int64)
-        np.cumsum(lens, out=offs[1:])
-        flat = np.concatenate(sh) if sh else np.empty(0, np.uint64)
+        kept = ["" if texts[i] is None else texts[i]
+                for i in np.flatnonzero(keep)]
+        if shingle_mode == "word":
+            flat, offs = _word_shingles_batch(kept, n_words)
+        else:
+            flat, offs = _tokenize_shingles_batch(kept, shingle_k)
         return pa.table({
             id_col: pa.array(ids[keep]),
             "shingles": pa.LargeListArray.from_arrays(
@@ -588,7 +700,15 @@ def ngram_jaccard_duplicates(
             continue
         inter = len(np.intersect1d(sa, sb, assume_unique=True))
         union = len(sa) + len(sb) - inter
-        jac = inter / union if union else 1.0
+        if union == 0:
+            # both shingle sets empty: char mode never hits this (texts pad
+            # to k); word mode REJECTS the pair, matching the SQL oracle's
+            # NULL-jaccard exclusion
+            if shingle_mode == "word":
+                continue
+            jac = 1.0
+        else:
+            jac = inter / union
         if jac >= threshold:
             out_a.append(ia)
             out_b.append(ib)
@@ -643,6 +763,8 @@ def _ngram_verify_distributed(
     text_col: str,
     shingle_k: int,
     threshold: float,
+    shingle_mode: str = "char",
+    n_words: int = 3,
 ) -> rd.Dataset:
     """Distributed exact-jaccard verify for a candidate pair list too large
     for the driver: semi-join the corpus to the candidate id set → shingle →
@@ -672,9 +794,12 @@ def _ngram_verify_distributed(
         # list<uint64>: the pair join's pandas map_groups would round-trip a
         # list column through object dtype → Arrow extension type, which
         # poisons the sort-shuffle's block concat; bytes stay a plain type
-        texts = batch[text_col].to_pylist()
-        sh = [_tokenize_shingles("" if t is None else t, shingle_k).tobytes()
-              for t in texts]
+        texts = ["" if t is None else t for t in batch[text_col].to_pylist()]
+        if shingle_mode == "word":
+            flat, offs = _word_shingles_batch(texts, n_words)
+        else:
+            flat, offs = _tokenize_shingles_batch(texts, shingle_k)
+        sh = [flat[offs[i]:offs[i + 1]].tobytes() for i in range(len(texts))]
         return pa.table({
             id_col: batch[id_col],
             "shingles": pa.array(sh, pa.binary()),
@@ -705,7 +830,12 @@ def _ngram_verify_distributed(
             sb = np.frombuffer(sb_col[i], np.uint64)
             inter = len(np.intersect1d(sa, sb, assume_unique=True))
             union = len(sa) + len(sb) - inter
-            jac = inter / union if union else 1.0
+            if union == 0:
+                if shingle_mode == "word":  # see driver-path comment
+                    continue
+                jac = 1.0
+            else:
+                jac = inter / union
             if jac >= threshold:
                 out_a.append(ids_a[i])
                 out_b.append(ids_b[i])
@@ -774,6 +904,123 @@ def embedding_near_duplicates(
         })
 
     pairs = bucketed.groupby("bucket").map_groups(verify, batch_format="pandas")
+    return _unique_pairs(pairs, "cosine")
+
+
+class EmbeddingBandBucketize:
+    """map_batches ACTOR stage for BANDED hyperplane LSH: vector → one
+    (band_key, id, vec) row per band. ``num_bands`` independent tables of
+    ``bits_per_band`` hyperplanes each (the minhash-banding shape applied
+    to cosine LSH); the hyperplane matrix is built once per actor."""
+
+    def __init__(self, dim: int, *, num_bands: int, bits_per_band: int,
+                 seed: int, id_col: str, vec_col: str):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal(
+            (dim, num_bands * bits_per_band)).astype(np.float32)
+        self.num_bands = num_bands
+        self.bits = bits_per_band
+        self.weights = (np.uint64(1)
+                        << np.arange(bits_per_band, dtype=np.uint64))
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def band_keys(self, vecs: np.ndarray) -> np.ndarray:
+        """(n, num_bands) uint64 keys; band b's key namespace is disjoint
+        (key = b·2^bits + code)."""
+        bits = (vecs.astype(np.float32) @ self.planes) > 0
+        codes = (bits.reshape(len(vecs), self.num_bands, self.bits)
+                 .astype(np.uint64) * self.weights).sum(axis=2)
+        band_ids = np.arange(self.num_bands, dtype=np.uint64)
+        return (band_ids[None, :] << np.uint64(self.bits)) | codes
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .ann import _to_matrix
+
+        m = _to_matrix(batch[self.vec_col])
+        n = len(m)
+        if not n:
+            return pa.table({
+                "bucket": pa.array([], pa.uint64()),
+                self.id_col: batch[self.id_col],
+                self.vec_col: batch[self.vec_col],
+            })
+        keys = self.band_keys(m)
+        rep = np.repeat(np.arange(n, dtype=np.int64), self.num_bands)
+        return pa.table({
+            "bucket": pa.array(keys.reshape(-1), pa.uint64()),
+            self.id_col: batch[self.id_col].take(pa.array(rep)),
+            self.vec_col: batch[self.vec_col].take(pa.array(rep)),
+        })
+
+
+def embedding_near_duplicates_banded(
+    ds: rd.Dataset,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    threshold: float = 0.4,
+    num_bands: int = 64,
+    bits_per_band: int = 4,
+    seed: int = 11,
+    max_bucket: int = 4000,
+    concurrency: int | tuple[int, int] = (1, 4),
+    drop_counter=None,
+) -> rd.Dataset:
+    """Embedding-cosine near-dup pairs with a CANDIDATE-RECALL BOUND tight
+    enough to SQL-check against exact all-pairs cosine: banded
+    random-hyperplane LSH proposes candidates (a pair collides in band b
+    iff all ``bits_per_band`` hyperplanes agree there), exact cosine
+    verifies inside each band bucket, so every emitted pair is exact.
+
+    Miss probability for a pair at cosine s: with p = 1 − arccos(s)/π,
+    P(miss) = (1 − p^bits_per_band)^num_bands. At the defaults and the
+    gate's threshold 0.4 (p ≈ 0.631): (1 − 0.1585)^64 ≈ 1.6e-5 per
+    borderline pair — effectively exact at verification thresholds (the
+    single-table probe variant :func:`embedding_near_duplicates` misses
+    ~70% of threshold-0.4 pairs and is kept as the cheaper
+    high-threshold path).
+
+    Shuffle volume: num_bands × (key + id + vector) rows. For corpora
+    where that dominates, the ngram-style two-pass split (signatures-only
+    candidates → vector join for verify) is the next step; at embedding
+    dims ≤ 1k the single-pass is the simpler, equally-exact choice."""
+    try:
+        first = ds.take_batch(1, batch_format="pyarrow")
+        dim = len(first[vec_col][0])
+    except (ValueError, StopIteration):
+        dim = 1
+
+    bucketed = ds.map_batches(
+        EmbeddingBandBucketize,
+        fn_constructor_kwargs=dict(dim=dim, num_bands=num_bands,
+                                   bits_per_band=bits_per_band, seed=seed,
+                                   id_col=id_col, vec_col=vec_col),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        g = _bound_bucket(g.sort_values(id_col), max_bucket, drop_counter,
+                          "embedding_banded_lsh")
+        ids = g[id_col].to_numpy()
+        m = np.stack([np.asarray(v, np.float64) for v in g[vec_col]])
+        n = np.linalg.norm(m, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        sims = (m / n) @ (m / n).T
+        ii, jj = np.triu_indices(len(ids), k=1)
+        keep = (sims[ii, jj] >= threshold) & (ids[ii] != ids[jj])
+        ii, jj = ii[keep], jj[keep]
+        return pd.DataFrame({
+            "id_a": np.minimum(ids[ii], ids[jj]),
+            "id_b": np.maximum(ids[ii], ids[jj]),
+            "cosine": sims[ii, jj],
+        })
+
+    pairs = bucketed.groupby("bucket").map_groups(verify,
+                                                  batch_format="pandas")
     return _unique_pairs(pairs, "cosine")
 
 

@@ -1,0 +1,289 @@
+"""Round-5 surfaces: word-shingle MinHash (exact-verified), banded
+embedding LSH, ANN exact configurations, the multi-phrase query_string
+regression, and the top_hits tie-break / timestamp-precision fixes.
+
+Oracles: independent pure-Python brute force (same pattern as
+test_round4_ops / test_dedup_ann)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from deces_dataprep_ray.functions.analysis import tokenize
+from deces_dataprep_ray.functions.ids import doc_id_from_url
+from deces_dataprep_ray.index.build import build_index
+from deces_dataprep_ray.index.query import idf as _idf
+from deces_dataprep_ray.index.reader import IndexReader
+
+
+# ---------------------------------------------------------------------------
+# word-shingle kernels
+# ---------------------------------------------------------------------------
+
+def _word_gram_set(text: str, n: int = 3) -> set:
+    toks = text.split()
+    return {tuple(toks[i:i + n]) for i in range(len(toks) - n + 1)} \
+        if len(toks) >= n else set()
+
+
+def test_word_shingles_batch_matches_scalar_and_oracle():
+    from deces_dataprep_ray.stages.dedup import (
+        _word_shingles,
+        _word_shingles_batch,
+    )
+
+    rng = np.random.default_rng(9)
+    vocab = ["a", "bb", "ccc", "dd", "e"]
+    texts = [" ".join(rng.choice(vocab, rng.integers(0, 30)))
+             for _ in range(100)] + ["", "one", "one two", "x " * 200]
+    flat, offs = _word_shingles_batch(texts, 3)
+    for i, t in enumerate(texts):
+        got = flat[offs[i]:offs[i + 1]]
+        # count equals the distinct-tuple oracle (hash injectivity at this
+        # scale) and the scalar kernel equals the batch kernel exactly
+        assert len(got) == len(_word_gram_set(t))
+        assert np.array_equal(got, _word_shingles(t, 3))
+        if len(got) > 1:  # per-doc ascending (sorted-unique contract)
+            assert (np.diff(got.view(np.uint64)) > 0).all()
+
+
+def test_word_minhash_pairs_match_bruteforce(ray_session):
+    """Word-mode ngram_jaccard_duplicates == exact word-trigram jaccard
+    brute force (set equality AND values), incl. short docs with zero
+    shingles, which must never pair."""
+    from deces_dataprep_ray.stages.dedup import ngram_jaccard_duplicates
+
+    rng = np.random.default_rng(3)
+    vocab = ["data", "spark", "row", "scan", "merge", "key"]
+    base = [" ".join(rng.choice(vocab, 30)) for _ in range(20)]
+    texts = list(base)
+    for i in range(8):  # near-dups: mutate a few words
+        w = base[i].split()
+        for j in rng.choice(len(w), 3, replace=False):
+            w[j] = str(rng.choice(vocab))
+        texts.append(" ".join(w))
+    texts += ["one two", "one two", ""]  # zero-shingle docs
+    ids = np.arange(len(texts), dtype=np.int64)
+    ds = rd.from_arrow(pa.table({"doc_id": ids, "text": texts}))
+    got = ngram_jaccard_duplicates(
+        ds, threshold=0.5, num_hashes=64, num_bands=32,
+        candidate_margin=0.25, shingle_mode="word", n_words=3,
+    ).to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+    want = []
+    grams = [_word_gram_set(t) for t in texts]
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            u = len(grams[a] | grams[b])
+            if u == 0:
+                continue  # SQL-oracle semantics: NULL jaccard, excluded
+            j = len(grams[a] & grams[b]) / u
+            if j >= 0.5:
+                want.append((a, b, j))
+    assert list(zip(got["id_a"], got["id_b"])) == [(a, b) for a, b, _ in want]
+    assert np.allclose(got["jaccard"], [j for _, _, j in want])
+
+
+# ---------------------------------------------------------------------------
+# banded embedding LSH
+# ---------------------------------------------------------------------------
+
+def test_banded_embedding_dedup_matches_exact_pairs(ray_session):
+    from deces_dataprep_ray.stages.dedup import embedding_near_duplicates_banded
+
+    rng = np.random.default_rng(21)
+    n, d = 120, 16
+    m = rng.standard_normal((n, d))
+    for i in range(0, 30, 2):  # planted near-dups
+        m[i + 1] = m[i] + 0.15 * rng.standard_normal(d)
+    ids = np.arange(n, dtype=np.int64)
+    tbl = pa.table({
+        "vec_id": ids,
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(m.reshape(-1), pa.float32()), d).cast(
+            pa.list_(pa.float32())),
+    })
+    got = embedding_near_duplicates_banded(
+        rd.from_arrow(tbl), threshold=0.4, num_bands=64, bits_per_band=4,
+    ).to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+    mm = m.astype(np.float32).astype(np.float64)
+    nrm = mm / np.linalg.norm(mm, axis=1, keepdims=True)
+    sims = nrm @ nrm.T
+    want = [(a, b, sims[a, b]) for a in range(n) for b in range(a + 1, n)
+            if sims[a, b] >= 0.4]
+    assert list(zip(got["id_a"], got["id_b"])) == [(a, b) for a, b, _ in want]
+    assert np.allclose(got["cosine"], [s for _, _, s in want], atol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# ANN exact configurations (the SQL-gated modes)
+# ---------------------------------------------------------------------------
+
+def _emb_table(n=200, d=12, seed=5):
+    rng = np.random.default_rng(seed)
+    m = rng.standard_normal((n, d)).astype(np.float32)
+    return pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(m.reshape(-1), pa.float32()), d).cast(
+            pa.list_(pa.float32())),
+    }), m
+
+
+def test_ann_lsh_probe_all_equals_brute_force(ray_session, tmp_path):
+    from deces_dataprep_ray.stages.ann import (
+        AnnIndex,
+        BruteForceTopK,
+        build_ann_index,
+    )
+
+    tbl, m = _emb_table()
+    idx_dir = str(tmp_path / "ann")
+    build_ann_index(rd.from_arrow(tbl), idx_dir, nbits=8)
+    idx = AnnIndex(idx_dir)
+    q = m[:3].astype(np.float64)
+    got = idx.topk(q, k=10, probe_bits=idx.meta["nbits"])
+    assert idx.last_rows_read == idx.total_rows  # probed everything
+    bf = BruteForceTopK(q, k=10)(tbl)
+    want = (bf.to_pandas()
+            .sort_values(["query_id", "cosine", "vec_id"],
+                         ascending=[True, False, True])
+            .groupby("query_id").head(10).reset_index(drop=True))
+    assert (got["vec_id"].to_numpy() == want["vec_id"].to_numpy()).all()
+    assert np.allclose(got["cosine"], want["cosine"])
+
+
+def test_ann_index_build_preserves_old_on_failure(ray_session, tmp_path,
+                                                  monkeypatch):
+    """The atomic-swap fix: a crash before publish leaves the OLD index
+    intact (the pre-build rmtree used to delete it first)."""
+    import deces_dataprep_ray.stages.ann as ann_mod
+
+    tbl, _ = _emb_table(n=50)
+    idx_dir = str(tmp_path / "ann2")
+    ann_mod.build_ann_index(rd.from_arrow(tbl), idx_dir, nbits=4)
+    before = ann_mod.AnnIndex(idx_dir).total_rows
+
+    def boom(tmp, target):
+        raise RuntimeError("crash before publish")
+
+    monkeypatch.setattr(ann_mod, "_swap_index_dir", boom)
+    with pytest.raises(RuntimeError):
+        ann_mod.build_ann_index(rd.from_arrow(tbl), idx_dir, nbits=4)
+    monkeypatch.undo()
+    assert ann_mod.AnnIndex(idx_dir).total_rows == before  # old index alive
+
+
+# ---------------------------------------------------------------------------
+# query_string: multi-phrase regression (ADVICE r04)
+# ---------------------------------------------------------------------------
+
+def test_query_string_two_phrases_no_topk_truncation(ray_session, tmp_path):
+    """Round-4 bug: k=len(union) was re-read after the first phrase filter
+    shrank the union, top-k-truncating the SECOND phrase's match set.
+    Corpus: phrase "aa bb" matches 2 LONG docs (low BM25); phrase "cc dd"
+    matches 40 docs that all outrank them. The old code searched phrase 2
+    with k=2, got 2 high-scoring docs that don't contain phrase 1, and
+    returned [] — the correct answer is exactly the 2 double-phrase docs."""
+    from deces_dataprep_ray.index.query import search_query_string
+
+    filler = ["xx", "yy", "zz"]
+    rows = []
+    for i in range(2):  # match BOTH phrases, long docs → low scores
+        rows.append("aa bb cc dd " + " ".join(filler * 20))
+    for i in range(40):  # match only "cc dd", short docs → high scores
+        rows.append("cc dd " + filler[i % 3])
+    df = pd.DataFrame({"url": [f"doc://{i}" for i in range(len(rows))],
+                       "text": rows})
+    src = str(tmp_path / "qs.parquet")
+    df.to_parquet(src)
+    idx = str(tmp_path / "qsidx")
+    build_index(src, idx, num_buckets=2, salt_shards=2, head_min_df=1000,
+                store_positions=True, batch_size=16)
+    r = IndexReader(idx)
+    got = search_query_string(r, '"aa bb" "cc dd"', k=10)
+    want_ids = sorted(doc_id_from_url(f"doc://{i}") for i in range(2))
+    assert sorted(d for d, _ in got) == want_ids
+    # scores: OR-BM25 over all positive terms {aa,bb,cc,dd}
+    toks = [tokenize(t) for t in rows]
+    dls = [len(t) for t in toks]
+    avg = sum(dls) / len(dls)
+    dids = [doc_id_from_url(u) for u in df["url"]]
+    for d, s in got:
+        i = dids.index(d)
+        want = 0.0
+        for term in ("aa", "bb", "cc", "dd"):
+            pl = [j for j in range(len(rows)) if term in toks[j]]
+            tf = toks[i].count(term)
+            if tf:
+                want += _idf(len(rows), len(pl)) * tf / (
+                    tf + 1.2 * (1 - 0.75 + 0.75 * dls[i] / avg))
+        assert s == pytest.approx(want, rel=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# top_hits: numeric doc_id tie-break + int64 timestamp precision
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def ts_index(ray_session, tmp_path_factory):
+    d = tmp_path_factory.mktemp("r5ts")
+    n = 24
+    # epoch-ns magnitudes where float64 collapses neighbors: consecutive
+    # values 100 ns apart around 1.7e18 (spacing at that magnitude is 256 ns)
+    base = 1_700_000_000_000_000_000
+    ts = np.array([base + (i % 8) * 100 for i in range(n)], dtype="int64")
+    df = pd.DataFrame({
+        "url": [f"doc://{i}" for i in range(n)],
+        "body": ["data spark"] * n,
+        "lang": [["en", "fr"][i % 2] for i in range(n)],
+        "ts": pd.to_datetime(ts, unit="ns"),
+        "nch": np.concatenate([np.full(12, 5), np.arange(12)]),
+    })
+    src = str(d / "src.parquet")
+    df.to_parquet(src)
+    idx = str(d / "idx")
+    build_index(src, idx, fields={"body": "body"},
+                keyword_fields={"lang": "lang"},
+                docvalue_fields={"nch": "nch", "lang": "lang", "ts": "ts"},
+                num_buckets=2, salt_shards=2, head_min_df=1000, batch_size=8)
+    return df, idx
+
+
+def test_top_hits_numeric_doc_id_tiebreak(ts_index):
+    """Ties on the sort value must break by NUMERIC doc_id ascending (the
+    round-4 str cast made '10' < '9')."""
+    from deces_dataprep_ray.index.aggs import top_hits_agg
+
+    df, idx = ts_index
+    r = IndexReader(idx)
+    rows = top_hits_agg(r, "lang", "nch", n_per_bucket=3, descending=True)
+    pdf = df.assign(did=[doc_id_from_url(u) for u in df["url"]])
+    want = []
+    for lang in sorted(pdf["lang"].unique()):
+        sub = pdf[pdf["lang"] == lang].sort_values(
+            ["nch", "did"], ascending=[False, True]).head(3)
+        want.extend((lang, int(x), float(v))
+                    for x, v in zip(sub["did"], sub["nch"]))
+    assert rows == want
+
+
+def test_top_hits_timestamp_ns_precision(ts_index):
+    """Sort values 100 ns apart (collapsed by a float64 cast) must still
+    order exactly — the partial and merge keep int64."""
+    from deces_dataprep_ray.index.aggs import top_hits_agg
+
+    df, idx = ts_index
+    r = IndexReader(idx)
+    rows = top_hits_agg(r, "lang", "ts", n_per_bucket=2, descending=True)
+    pdf = df.assign(did=[doc_id_from_url(u) for u in df["url"]],
+                    tsi=df["ts"].astype("int64"))
+    want = []
+    for lang in sorted(pdf["lang"].unique()):
+        sub = pdf[pdf["lang"] == lang].sort_values(
+            ["tsi", "did"], ascending=[False, True]).head(2)
+        want.extend((lang, int(x)) for x in sub["did"])
+    assert [(k, d) for k, d, _ in rows] == want
