@@ -386,18 +386,33 @@ def filters_agg(reader: IndexReader, filters: dict) -> dict[str, int]:
 
 
 def terms_metric_agg(reader: IndexReader, key_column: str,
-                     value_column: str) -> list[tuple]:
+                     value_column: str, size: int | None = None,
+                     shard_size: int | None = None) -> list[tuple]:
     """ES ``terms`` aggregation with metric sub-aggregations: per key
     bucket, doc_count + sum/avg/min/max of a second docvalue column (the
     bucket-plus-metric composition every ES dashboard uses).
 
-    Distributed map-side partials over the TWO pruned docvalue columns:
-    each batch folds to one (key, n, sum, min, max) row per key present in
-    the batch, the driver merges the tiny partials (avg = Σ/n at merge, so
-    partial-merge is exact). Docs with a null key are skipped (ES missing
-    bucket is opt-in); null values count the doc but contribute no metric
-    (ES skips missing values per-metric). Returns
-    [(key, doc_count, sum, avg, min, max)] sorted by key."""
+    Distributed end-to-end: per-batch partials over the TWO pruned
+    docvalue columns (one (key, n, sum, min, max) row per key per batch),
+    then a DISTRIBUTED ``groupby(key).aggregate`` merge (avg = Σ/n after
+    the merge, so partial-merge is exact) — the driver never materializes
+    the bucket table (round 4 merged partials in a driver-side dict, which
+    a high-cardinality key would blow up).
+
+    ``size`` caps the result the ES way: each batch keeps only its top
+    ``shard_size`` keys by doc_count (default ``size·1.5 + 10``, ES's
+    shard_size heuristic — the same per-shard approximation ES makes), and
+    the merged buckets are top-``size``-selected by (doc_count desc, key
+    asc) with a distributed sort+limit, so the driver sees ≤ size rows.
+    ``size=None`` (the gate configuration) enumerates every bucket — use
+    ``composite_agg`` to PAGE over high-cardinality keys instead. Docs
+    with a null key are skipped (ES missing bucket is opt-in); null values
+    count the doc but contribute no metric (ES skips missing values
+    per-metric). Returns [(key, doc_count, sum, avg, min, max)] sorted by
+    key when uncapped, by (doc_count desc, key asc) when capped (ES bucket
+    order)."""
+    cap = None if size is None else max(
+        int(size * 1.5 + 10), size) if shard_size is None else shard_size
 
     def partial(t: pa.Table) -> pa.Table:
         import pandas as pd
@@ -412,6 +427,9 @@ def terms_metric_agg(reader: IndexReader, key_column: str,
         # sum/min/max/count skip NaN (ES per-metric missing semantics)
         g = pdf.groupby("k", sort=True)["v"].agg(
             n="size", s="sum", mn="min", mx="max", nv="count")
+        if cap is not None and len(g) > cap:
+            g = g.sort_values("n", ascending=False, kind="stable").head(cap)
+            g = g.sort_index()
         return pa.table({
             "key": pa.array(g.index.astype(str), pa.large_string()),
             "n": pa.array(g["n"].to_numpy(np.int64)),
@@ -424,24 +442,27 @@ def terms_metric_agg(reader: IndexReader, key_column: str,
         })
 
     import ray.data as rd
+    from ray.data.aggregate import Max, Min, Sum
 
-    parts = rd.read_parquet(
+    merged = rd.read_parquet(
         _dv_path(reader), columns=[key_column, value_column]).map_batches(
-        partial, batch_format="pyarrow").take_all()
-    acc: dict = {}
-    for row in parts:
-        st = acc.setdefault(row["key"], [0, 0.0, np.inf, -np.inf, 0])
-        st[0] += int(row["n"])
-        st[1] += float(row["s"])
-        st[2] = min(st[2], float(row["mn"]))
-        st[3] = max(st[3], float(row["mx"]))
-        st[4] += int(row["nv"])
+        partial, batch_format="pyarrow").groupby("key").aggregate(
+        Sum("n", alias_name="n"), Sum("s", alias_name="s"),
+        Min("mn", alias_name="mn"), Max("mx", alias_name="mx"),
+        Sum("nv", alias_name="nv"))
+    if size is not None:
+        # ES bucket order: doc_count desc, key asc — selected distributed
+        merged = merged.sort(["n", "key"], descending=[True, False]).limit(
+            size)
+    rows = merged.take_all()  # ≤ size rows, or one row per distinct key
+    if size is None:
+        rows.sort(key=lambda r: r["key"])
     out = []
-    for key in sorted(acc):
-        n, s, mn, mx, nv = acc[key]
-        out.append((key, n, s, (s / nv) if nv else float("nan"),
-                    mn if nv else float("nan"),
-                    mx if nv else float("nan")))
+    for r in rows:
+        n, s, nv = int(r["n"]), float(r["s"]), int(r["nv"])
+        out.append((r["key"], n, s, (s / nv) if nv else float("nan"),
+                    float(r["mn"]) if nv else float("nan"),
+                    float(r["mx"]) if nv else float("nan")))
     return out
 
 
@@ -484,13 +505,25 @@ def composite_agg(reader: IndexReader, key_column: str, size: int = 10,
 
 
 def terms_terms_agg(reader: IndexReader, outer_column: str,
-                    inner_column: str) -> list[tuple[str, str, int]]:
+                    inner_column: str, size: int | None = None,
+                    inner_size: int | None = None
+                    ) -> list[tuple[str, str, int]]:
     """Two-level bucket composition — ES ``terms`` agg with a nested
     ``terms`` sub-aggregation (the lang × source dashboard breakdown).
-    Per-batch (outer, inner, count) partials over the two pruned docvalue
-    columns, driver merge; docs with a null key at either level are
-    skipped. Returns [(outer, inner, doc_count)] sorted."""
-    from collections import Counter as _Counter
+
+    Distributed end-to-end: per-batch (outer, inner, count) partials over
+    the two pruned docvalue columns, DISTRIBUTED ``groupby`` merge (round
+    4 folded every distinct pair into a driver-side Counter). ``size``
+    caps like ES's per-level ``size``: the top ``size`` OUTER buckets by
+    total doc_count (distributed sort+limit over the outer totals — ≤ size
+    keys ever reach the driver), then the top ``inner_size`` (default 10)
+    inner buckets per surviving outer, selected in a distributed
+    ``map_groups`` — driver rows ≤ size·inner_size. ``size=None`` (the
+    gate configuration) enumerates everything. Docs with a null key at
+    either level are skipped. Returns [(outer, inner, doc_count)] sorted
+    lexicographically when uncapped; capped output orders outer buckets by
+    (total doc_count desc, key asc) and inner by (doc_count desc, key
+    asc) — ES bucket order."""
 
     def partial(t: pa.Table) -> pa.Table:
         t = t.filter(pc.and_(pc.is_valid(t[outer_column]),
@@ -507,38 +540,72 @@ def terms_terms_agg(reader: IndexReader, outer_column: str,
                          "n": pa.array(g["n"].to_numpy(np.int64))})
 
     import ray.data as rd
+    from ray.data.aggregate import Sum
 
-    parts = rd.read_parquet(
+    pairs = rd.read_parquet(
         _dv_path(reader), columns=[outer_column, inner_column]).map_batches(
-        partial, batch_format="pyarrow").take_all()
-    acc: _Counter = _Counter()
-    for row in parts:
-        acc[(row["o"], row["i"])] += int(row["n"])
-    return [(o, i, n) for (o, i), n in sorted(acc.items())]
+        partial, batch_format="pyarrow").groupby(["o", "i"]).aggregate(
+        Sum("n", alias_name="n"))
+    if size is None:
+        rows = pairs.take_all()
+        return sorted((r["o"], r["i"], int(r["n"])) for r in rows)
+
+    inner_size = 10 if inner_size is None else inner_size
+    # consumed twice below (totals + filter) — materialize the pair-level
+    # table once (bounded by pair cardinality, spills to the object store)
+    pairs = pairs.materialize()
+    totals = pairs.groupby("o").aggregate(Sum("n", alias_name="tot"))
+    top_outer = totals.sort(["tot", "o"], descending=[True, False]).limit(
+        size).take_all()  # ≤ size rows on the driver
+    order = {r["o"]: rank for rank, r in enumerate(top_outer)}
+
+    def keep_outer(t: pa.Table) -> pa.Table:
+        mask = pc.is_in(t["o"], value_set=pa.array(list(order), pa.string()))
+        return t.filter(mask)
+
+    import pandas as pd
+
+    def top_inner(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n", "i"], ascending=[False, True],
+                          kind="stable")
+        return g.head(inner_size)
+
+    rows = (pairs.map_batches(keep_outer, batch_format="pyarrow")
+            .groupby("o").map_groups(top_inner, batch_format="pandas")
+            .take_all())  # ≤ size·inner_size rows
+    rows.sort(key=lambda r: (order[r["o"]], -int(r["n"]), r["i"]))
+    return [(r["o"], r["i"], int(r["n"])) for r in rows]
 
 
 def top_hits_agg(reader: IndexReader, key_column: str, sort_column: str,
                  n_per_bucket: int = 3,
                  descending: bool = True,
-                 tie_column: str = "doc_id") -> list[tuple]:
+                 tie_column: str = "doc_id",
+                 size: int | None = None) -> list[tuple]:
     """ES ``terms`` aggregation with a ``top_hits`` sub-aggregation sorted
     by a docvalue: per key bucket, the ``n_per_bucket`` best docs by
     ``sort_column`` (tie-break ascending doc_id — the engine's total order
     without a scoring clause; ES [field, _id]).
 
-    Distributed per-batch combiner over the pruned (doc_id, key, sort)
-    columns: each batch keeps its own ≤n rows PER KEY (a per-bucket top-n
-    partial), the driver merges the ≤ n·keys·batches-row partials — the
-    corpus never materializes. Docs with a null key or null sort value are
-    skipped (ES missing is opt-in / sort skips missing). ``tie_column``
-    picks the tie-break order (default internal doc_id, compared
-    NUMERICALLY; string tie columns like ``"url"`` compare in string order
-    — the [field, _id]-style order the SQL oracles can express).
-    Timestamp/date sort values stay int64 through the partial AND the
-    driver merge (epoch-ns exceeds float64's 2^53 integer range — a float
-    cast collapses values within ~256 ns); they convert to float only in
-    the returned tuples. Returns [(key, doc_id, value)] sorted by
-    (key asc, value order, tie asc)."""
+    Distributed end-to-end: each batch keeps its own ≤n rows PER KEY over
+    the pruned (doc_id, key, sort) columns (a per-bucket top-n partial),
+    then a DISTRIBUTED ``groupby(key).map_groups`` reduces every bucket to
+    its final ≤n rows — the driver reads ≤ n·keys rows (round 4 merged the
+    n·keys·batches partial table driver-side). ``size`` caps the BUCKET
+    count the ES way: the top ``size`` keys by doc_count are selected with
+    a distributed sort+limit over per-batch key counts, the reduce is
+    filtered to them, and the driver sees ≤ n·size rows. Docs with a null
+    key or null sort value are skipped (ES missing is opt-in / sort skips
+    missing). ``tie_column`` picks the tie-break order (default internal
+    doc_id, compared NUMERICALLY; string tie columns like ``"url"``
+    compare in string order — the [field, _id]-style order the SQL oracles
+    can express). Timestamp/date sort values stay int64 through the
+    partial AND the merge (epoch-ns exceeds float64's 2^53 integer range —
+    a float cast collapses values within ~256 ns); they convert to float
+    only in the returned tuples. Returns [(key, doc_id, value)] sorted by
+    (key asc, value order, tie asc); capped output orders buckets by
+    (doc_count desc, key asc) — ES bucket order — keeping the in-bucket
+    hit order."""
     import pandas as pd
     import ray.data as rd
 
@@ -578,18 +645,49 @@ def top_hits_agg(reader: IndexReader, key_column: str, sort_column: str,
             "v": pa.Array.from_pandas(pdf["v"], type=v.type),
         })
 
-    parts = rd.read_parquet(
+    partials = rd.read_parquet(
         _dv_path(reader), columns=cols
-    ).map_batches(partial, batch_format="pyarrow").take_all()
+    ).map_batches(partial, batch_format="pyarrow")
 
-    if not parts:
-        return []
-    pdf = pd.DataFrame(parts)  # driver merge of the ≤n·keys·batches partials
-    pdf = pdf.sort_values(["key", "v", "tie"],
-                          ascending=[True, not descending, True])
-    pdf = pdf.groupby("key", sort=False).head(n_per_bucket)
-    return [(str(k), int(d), float(v))
-            for k, d, v in zip(pdf["key"], pdf["doc_id"], pdf["v"])]
+    key_order = None
+    if size is not None:
+        from ray.data.aggregate import Sum
+
+        def key_counts(t: pa.Table) -> pa.Table:
+            col = t[key_column].drop_null().combine_chunks().cast(
+                pa.large_string())
+            vc = pc.value_counts(col)
+            return pa.table({"key": vc.field("values"),
+                             "n": pc.cast(vc.field("counts"), pa.int64())})
+
+        top = (rd.read_parquet(_dv_path(reader), columns=[key_column])
+               .map_batches(key_counts, batch_format="pyarrow")
+               .groupby("key").aggregate(Sum("n", alias_name="n"))
+               .sort(["n", "key"], descending=[True, False])
+               .limit(size).take_all())  # ≤ size rows on the driver
+        key_order = {r["key"]: rank for rank, r in enumerate(top)}
+        keep = pa.array(list(key_order), pa.large_string())
+        partials = partials.map_batches(
+            lambda t, _k=keep: t.filter(pc.is_in(t["key"], value_set=_k)),
+            batch_format="pyarrow")
+
+    def reduce_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["v", "tie"], ascending=[not descending, True],
+                          kind="stable")
+        return g.head(n_per_bucket)
+
+    rows = (partials.groupby("key")
+            .map_groups(reduce_bucket, batch_format="pandas")
+            .take_all())  # ≤ n·keys (or n·size) rows on the driver
+    if key_order is None:
+        rows.sort(key=lambda r: (r["key"],
+                                 -r["v"] if descending else r["v"],
+                                 r["tie"]))
+    else:
+        rows.sort(key=lambda r: (key_order[r["key"]],
+                                 -r["v"] if descending else r["v"],
+                                 r["tie"]))
+    return [(str(r["key"]), int(r["doc_id"]), float(r["v"])) for r in rows]
 
 
 def bucket_pipeline_agg(reader: IndexReader, key_column: str,

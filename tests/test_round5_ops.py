@@ -271,6 +271,93 @@ def test_top_hits_numeric_doc_id_tiebreak(ts_index):
     assert rows == want
 
 
+@pytest.fixture(scope="module")
+def hicard_index(ray_session, tmp_path_factory):
+    """4,000 docs over a ~2,000-distinct-key column — the shape that blew
+    up the round-4 driver-side terms-agg merges."""
+    d = tmp_path_factory.mktemp("r5hc")
+    n = 4000
+    rng = np.random.default_rng(13)
+    keys = [f"k{int(x):05d}" for x in rng.zipf(1.3, n) % 2000]
+    df = pd.DataFrame({
+        "url": [f"doc://{i}" for i in range(n)],
+        "body": ["data"] * n,
+        "key": keys,
+        "inner": [f"i{i % 7}" for i in range(n)],
+        "val": rng.integers(0, 1000, n),
+    })
+    src = str(d / "src.parquet")
+    df.to_parquet(src)
+    idx = str(d / "idx")
+    build_index(src, idx, fields={"body": "body"},
+                keyword_fields={"key": "key"},
+                docvalue_fields={"key": "key", "inner": "inner",
+                                 "val": "val"},
+                num_buckets=2, salt_shards=2, head_min_df=1000,
+                batch_size=256)
+    return df, idx
+
+
+def test_terms_metric_agg_size_cap_bounds_and_matches(hicard_index):
+    """size caps driver-visible buckets at ≤ size, ordered by (doc_count
+    desc, key asc), with metrics equal to the uncapped enumeration's."""
+    from deces_dataprep_ray.index.aggs import terms_metric_agg
+
+    df, idx = hicard_index
+    r = IndexReader(idx)
+    full = {t[0]: t for t in terms_metric_agg(r, "key", "val")}
+    capped = terms_metric_agg(r, "key", "val", size=10)
+    assert len(capped) == 10  # driver rows bounded by size
+    want_keys = sorted(full, key=lambda k: (-full[k][1], k))[:10]
+    assert [t[0] for t in capped] == want_keys
+    for t in capped:
+        f = full[t[0]]
+        assert t[1] == f[1] and t[2] == pytest.approx(f[2])
+        assert t[3] == pytest.approx(f[3])
+
+
+def test_terms_terms_agg_size_cap(hicard_index):
+    from deces_dataprep_ray.index.aggs import terms_terms_agg
+
+    df, idx = hicard_index
+    r = IndexReader(idx)
+    full = terms_terms_agg(r, "key", "inner")
+    capped = terms_terms_agg(r, "key", "inner", size=5, inner_size=3)
+    assert len(capped) <= 5 * 3  # driver rows bounded
+    # outer selection: top-5 keys by total doc_count (desc, key asc)
+    tot: dict = {}
+    for o, i, n in full:
+        tot[o] = tot.get(o, 0) + n
+    want_outer = sorted(tot, key=lambda k: (-tot[k], k))[:5]
+    assert list(dict.fromkeys(o for o, _, _ in capped)) == want_outer
+    # inner selection per outer: top-3 by (doc_count desc, key asc)
+    for o in want_outer:
+        inner_full = sorted(((n, i) for oo, i, n in full if oo == o),
+                            key=lambda p: (-p[0], p[1]))[:3]
+        got = [(n, i) for oo, i, n in capped if oo == o]
+        assert got == inner_full
+
+
+def test_top_hits_agg_size_cap(hicard_index):
+    from deces_dataprep_ray.index.aggs import top_hits_agg
+
+    df, idx = hicard_index
+    r = IndexReader(idx)
+    capped = top_hits_agg(r, "key", "val", n_per_bucket=2, size=4,
+                          tie_column="url")
+    assert len(capped) <= 4 * 2
+    counts = df["key"].value_counts()
+    want_keys = sorted(counts.index,
+                       key=lambda k: (-int(counts[k]), k))[:4]
+    assert list(dict.fromkeys(k for k, _, _ in capped)) == want_keys
+    pdf = df.assign(did=[doc_id_from_url(u) for u in df["url"]])
+    for k in want_keys:
+        sub = pdf[pdf["key"] == k].sort_values(
+            ["val", "url"], ascending=[False, True]).head(2)
+        assert [d for kk, d, _ in capped if kk == k] == \
+            [int(x) for x in sub["did"]]
+
+
 def test_top_hits_timestamp_ns_precision(ts_index):
     """Sort values 100 ns apart (collapsed by a float64 cast) must still
     order exactly — the partial and merge keep int64."""
