@@ -23,6 +23,7 @@ import re
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 EPOCH_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00 in microseconds
@@ -170,7 +171,9 @@ _WS_RE = re.compile(r"\s+")
 def extract_text(html_bytes: bytes) -> str:
     """Canonical extraction: concatenate <p> block contents, strip any nested
     tags, unescape HTML entities, collapse whitespace. One frozen function —
-    the per-url byte-identity invariant depends on it (SURVEY.md §7.4)."""
+    the per-url byte-identity invariant depends on it (SURVEY.md §7.4).
+    This scalar form is the GOLDEN ORACLE; the hot path is
+    :func:`extract_text_vectorized` (byte-identical, property-tested)."""
     parts = _P_RE.findall(html_bytes)
     raw = b" ".join(parts).decode("utf-8", errors="replace")
     raw = _TAG_RE.sub(" ", raw)
@@ -178,15 +181,100 @@ def extract_text(html_bytes: bytes) -> str:
     return _WS_RE.sub(" ", raw).strip()
 
 
+# RE2 class equal to Python's str-mode \s (ASCII controls \t-\r, the
+# \x1c-\x1f file separators, \x85 NEL, and every Unicode Z-category char);
+# Python re excludes ​ (Cf) and so does \p{Z}.
+_WS_CLASS = r"[\t\n\x0b\f\r\x1c-\x1f\x85\p{Z}]"
+# same class MINUS the plain space — "this doc needs a collapse pass"
+_WS_NOSPACE = (r"[\t\n\x0b\f\r\x1c-\x1f\x85\x{00A0}\x{1680}"
+               r"\x{2000}-\x{200A}\x{2028}\x{2029}\x{202F}\x{205F}"
+               r"\x{3000}]")
+
+
+def extract_text_vectorized(html: pa.ChunkedArray | pa.Array) -> pa.Array | None:
+    """Vectorized :func:`extract_text` over a binary column — byte-identical
+    to the scalar oracle (tests/test_corpus.py property-checks both on
+    adversarial fixtures). Returns None when the column is not valid UTF-8
+    (the oracle's errors="replace" path — callers fall back per row; the
+    cast is all-or-nothing in Arrow).
+
+    The oracle's findall-then-join is re-expressed exactly with two PLAIN
+    substring replaces (``<p>`` → \\x01, ``</p>`` → \\x02 — cheap, no
+    regex) followed by linear ``[^\\x01]*`` deletions: drop the trailing
+    unclosed span, the prefix, the inter-block gaps (→ " ", the oracle's
+    join) and the tail; a content-internal \\x01 (nested ``<p>``) becomes
+    " " exactly like the tag strip would have made it. RE2's leftmost scan
+    over the markers reproduces ``findall``'s alternation, and stray
+    ``<p>``/``</p>`` in junk regions cannot confuse the marker classes.
+    Docs that already CONTAIN a sentinel byte (pathological input) take
+    the scalar oracle, scattered back. Entity unescape is NOT a finite
+    replace chain (2k+ names, semicolon-optional, longest-match), so docs
+    containing ``&`` — and only those — take the exact ``html.unescape``
+    scalar path. The whitespace collapse+strip runs only on docs that need
+    one (any non-space \\s char, a double space, or a leading/trailing
+    space) — extracted web text is usually already single-spaced."""
+    if isinstance(html, pa.ChunkedArray):
+        html = html.combine_chunks()
+    try:
+        s = pc.cast(html, pa.large_string())
+    except pa.lib.ArrowInvalid:
+        return None
+    sent = pc.match_substring_regex(s, "[\x01\x02]")
+    s = pc.replace_substring(s, "<p>", "\x01")
+    s = pc.replace_substring(s, "</p>", "\x02")
+    s = pc.replace_substring_regex(s, "\x01[^\x02]*$", "",
+                                   max_replacements=1)
+    # prefix + first opener in one pass; the ($) alternative clears
+    # no-block docs entirely
+    s = pc.replace_substring_regex(s, "^[^\x01]*(\x01|$)", "",
+                                   max_replacements=1)
+    s = pc.replace_substring_regex(s, "\x02[^\x01]*\x01", " ")
+    s = pc.replace_substring_regex(s, "\x02[^\x01]*$", "",
+                                   max_replacements=1)
+    s = pc.replace_substring(s, "\x01", " ")  # nested <p> ≡ stripped tag
+    s = pc.replace_substring_regex(s, r"<[^>]+>", " ")
+
+    def _scatter(cur, mask, fn):
+        idx = np.flatnonzero(mask.to_numpy(zero_copy_only=False))
+        sub = fn(cur.take(pa.array(idx)))
+        if not isinstance(sub, (pa.Array, pa.ChunkedArray)):
+            sub = pa.array(sub, cur.type)
+        return pc.replace_with_mask(cur, mask, sub)
+
+    amp = pc.match_substring(s, "&")
+    if pc.any(amp).as_py():
+        s = _scatter(s, amp,
+                     lambda a: [_htmlmod.unescape(x) for x in a.to_pylist()])
+    needs_ws = pc.match_substring_regex(
+        s, "  |^ | $|" + _WS_NOSPACE)
+    if pc.any(needs_ws).as_py():
+        def collapse(a):
+            a = pc.replace_substring_regex(a, _WS_CLASS + "+", " ")
+            return pc.replace_substring_regex(a, r"^ | $", "")
+        s = _scatter(s, needs_ws, collapse)
+    if pc.any(sent).as_py():  # sentinel collision → exact scalar path
+        idx = np.flatnonzero(sent.to_numpy(zero_copy_only=False))
+        raw = html.take(pa.array(idx)).to_pylist()
+        repl = pa.array([extract_text(h) for h in raw], s.type)
+        s = pc.replace_with_mask(s, sent, repl)
+    return s
+
+
 class ExtractText:
     """Actor-pool stage: pages(html) → +text column (overwrites if present).
 
     Drops ``html`` on output — at 100 TB the binary column dominates block
     size and must not travel further down the pipeline (SURVEY.md §7.4).
-    """
+    Vectorized RE2 chain per batch (was the single most expensive bench
+    stage as a per-row Python loop — BENCH_r04); falls back to the scalar
+    oracle only for batches whose html is not valid UTF-8."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = [extract_text(h) for h in batch["html"].to_pylist()]
+        texts = extract_text_vectorized(batch["html"])
+        if texts is None:
+            texts = pa.array(
+                [extract_text(h) for h in batch["html"].to_pylist()],
+                pa.large_string())
         cols = {name: batch[name] for name in batch.column_names if name not in ("html", "text")}
-        cols["text"] = pa.array(texts, pa.large_string())
+        cols["text"] = texts
         return pa.table(cols)

@@ -112,7 +112,9 @@ def _filter_excluded(docs, tfs, dls, poss, excl: np.ndarray):
 
 
 def _table_rows(tbl: pa.Table, with_pos: bool):
-    """Iterate a bucket table as decode-ready dicts (mirrors the reader)."""
+    """Iterate a bucket table as decode-ready dicts (mirrors the reader).
+    Kept for the tiny moved-term pickups; the main compaction path decodes
+    whole tables columnar via :func:`_decode_bucket_table`."""
     for i in range(tbl.num_rows):
         yield {
             "term": tbl["term"][i].as_py(),
@@ -123,6 +125,83 @@ def _table_rows(tbl: pa.Table, with_pos: bool):
             "dl_bytes": tbl["dl_bytes"][i].as_py(),
             **({"pos_bytes": tbl["pos_bytes"][i].as_py()} if with_pos else {}),
         }
+
+
+def _flat_binary(col: pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray]:
+    """Zero-copy (bytes, per-row offsets) view of a binary column."""
+    arr = col.combine_chunks()
+    off_dt = (np.int64 if pa.types.is_large_binary(arr.type)
+              else np.int32)
+    offs = np.frombuffer(arr.buffers()[1], off_dt)[
+        arr.offset: arr.offset + len(arr) + 1].astype(np.int64)
+    data = np.frombuffer(arr.buffers()[2] or b"", np.uint8)
+    return data[offs[0]: offs[-1]], offs - offs[0]
+
+
+def _decode_bucket_table(tbl: pa.Table, with_pos: bool, excl: np.ndarray):
+    """Columnar decode of a WHOLE bucket table: one ``vb_decode`` per
+    stream over the zero-copy concatenated buffer (varbyte is
+    self-delimiting, so decoding the concatenation equals the
+    concatenation of per-row decodes), segmented delta-decode via modular
+    base subtraction (exact mod 2^64 even though the cross-row cumsum
+    wraps), and a vectorized tombstone filter. Replaces the round-4
+    per-row ``.as_py()`` + per-row ``vb_decode`` loop that made
+    compaction cost ≈ a full rebuild.
+
+    Returns (terms, segs, docs, tfs, dls, counts, poss, pos_lens) with
+    zero-posting rows dropped, or None when nothing survives."""
+    nrows = tbl.num_rows
+    if nrows == 0:
+        return None
+    n = tbl["n"].to_numpy().astype(np.int64)
+    total = int(n.sum())
+    doc_b, _ = _flat_binary(tbl["doc_bytes"])
+    tf_b, _ = _flat_binary(tbl["tf_bytes"])
+    dl_b, _ = _flat_binary(tbl["dl_bytes"])
+    from ..functions.codecs import vb_decode
+
+    deltas = vb_decode(doc_b, total)
+    tfs = vb_decode(tf_b, total).astype(np.uint8)
+    dls = vb_decode(dl_b, total).astype(np.uint16)
+    starts = np.cumsum(n) - n
+    c = np.cumsum(deltas, dtype=np.uint64)
+    base = np.zeros(nrows, np.uint64)
+    base[1:] = c[starts[1:] - 1]
+    docs = c - np.repeat(base, n)  # exact: within-row sums < 2^64
+    poss = pos_lens = None
+    if with_pos:
+        pos_b, _ = _flat_binary(tbl["pos_bytes"])
+        pos_lens = np.minimum(tfs, 255).astype(np.int64)
+        poss = decode_positions(pos_b.tobytes(), pos_lens).astype(np.uint32)
+    keep = (~np.isin(docs, excl) if len(excl)
+            else np.ones(total, bool))
+    if not keep.all():
+        if with_pos:
+            poss = poss[np.repeat(keep, pos_lens)]
+            pos_lens = pos_lens[keep]
+        docs, tfs, dls = docs[keep], tfs[keep], dls[keep]
+        counts = np.add.reduceat(keep, starts)
+        counts[n == 0] = 0
+    else:
+        counts = n
+    row_mask = counts > 0
+    terms = tbl["term"].to_pylist()
+    segs = tbl["seg"].to_numpy().astype(np.int64)
+    if not row_mask.all():
+        terms = [t for t, k in zip(terms, row_mask) if k]
+        segs = segs[row_mask]
+        counts = counts[row_mask]
+    if not len(terms):
+        return None
+    if with_pos and pos_lens is not None:
+        # pos_lens is per-POSTING; regroup per row for the list offsets
+        pl_counts = counts
+        row_pos = np.add.reduceat(
+            pos_lens, np.cumsum(pl_counts) - pl_counts) \
+            if len(pos_lens) else np.zeros(len(counts), np.int64)
+    else:
+        row_pos = None
+    return terms, segs, docs, tfs, dls, counts, poss, row_pos
 
 
 class _Partials:
@@ -147,6 +226,23 @@ class _Partials:
         self.dls.append(dls)
         if self.with_pos:
             self.poss.append(poss)
+
+    def add_decoded(self, bucket: int, decoded) -> None:
+        """Bulk-add a :func:`_decode_bucket_table` result: the flat arrays
+        are split per row once (numpy views, no per-row decode)."""
+        terms, segs, docs, tfs, dls, counts, poss, row_pos = decoded
+        offs = np.cumsum(counts) - counts
+        self.bucket.extend([bucket] * len(terms))
+        self.term.extend(terms)
+        self.seg.extend(int(s) for s in segs)
+        for o, c in zip(offs, counts):
+            self.docs.append(docs[o:o + c])
+            self.tfs.append(tfs[o:o + c])
+            self.dls.append(dls[o:o + c])
+        if self.with_pos:
+            po = np.cumsum(row_pos) - row_pos
+            for o, c in zip(po, row_pos):
+                self.poss.append(poss[o:o + c])
 
     def table(self) -> pa.Table | None:
         if not self.term:
@@ -248,16 +344,16 @@ class CompactBucket:
             path = os.path.join(bucket_dir(gdir, b), "part.parquet")
             if os.path.exists(path):
                 tbl = pq.read_table(path)
-                for row in _table_rows(tbl, self.with_pos):
-                    if row["term"] in moved:
-                        continue  # target tasks pull these (re-routed)
-                    docs, tfs, dls, poss = _decode_row(row, self.with_pos)
-                    docs, tfs, dls, poss = _filter_excluded(
-                        docs, tfs, dls, poss, excl)
-                    if not len(docs):
-                        continue  # the whole posting list was tombstoned
-                    parts.add(b, row["term"], row["seg"],
-                              docs, tfs, dls, poss)
+                if moved:  # target tasks pull these (re-routed)
+                    vs = pa.array(list(moved)).cast(
+                        tbl["term"].type.value_type
+                        if pa.types.is_dictionary(tbl["term"].type)
+                        else tbl["term"].type)
+                    tbl = tbl.filter(
+                        pc.invert(pc.is_in(tbl["term"], value_set=vs)))
+                decoded = _decode_bucket_table(tbl, self.with_pos, excl)
+                if decoded is not None:
+                    parts.add_decoded(b, decoded)
             # moved pickup: union-head terms this generation hash-routed,
             # whose doc-range salts land in MY bucket
             mine = [(t, src, route) for t, (src, route) in moved.items()

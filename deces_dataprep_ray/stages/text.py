@@ -317,17 +317,25 @@ class HashSplit(Stage):
         return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        # md5 per key is the FROZEN contract (the SQL oracle's formula) —
+        # bulked to a C-level map over pre-encoded bytes; the first 8 hex
+        # chars compare lexicographically == the big-endian uint32 of the
+        # first 4 digest bytes, so the threshold scan is one searchsorted
+        # against the cumulative-fraction boundaries (the round-4 version
+        # ran a Python threshold loop per row).
         th = self._thresholds()
+        names = np.asarray([n for n, _ in th], dtype=object)
+        bounds = np.asarray([int(hi, 16) for _, hi in th], np.uint64)
+        salt_b = self.salt.encode("utf-8")
         keys = batch[self.key_col].to_pylist()
-        labels = []
-        for kv in keys:
-            h = hashlib.md5(
-                (self.salt + str(kv)).encode("utf-8")).hexdigest()[:8]
-            for name, hi in th:
-                if h <= hi:
-                    labels.append(name)
-                    break
-        return batch.append_column("split", pa.array(labels, pa.string()))
+        digs = b"".join(
+            [m.digest()[:4] for m in
+             map(hashlib.md5, ((salt_b + str(k).encode("utf-8"))
+                               for k in keys))])
+        h32 = np.frombuffer(digs, dtype=">u4").astype(np.uint64)
+        idx = np.searchsorted(bounds, h32, side="left")
+        return batch.append_column(
+            "split", pa.array(names[idx], pa.string()))
 
 
 def pack_sequences(ds, id_col: str = "doc_id", text_col: str = "text",
