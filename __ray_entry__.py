@@ -66,6 +66,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "avg_bucket": dq.q_avg_bucket,
         "hash_split": dq.q_hash_split,
         "bm25_compacted": dq.q_bm25_compacted,
+        # --- new this round ------------------------------------------------
+        # multimodal plumbing through the real PPM/WAV decode kernels
+        "media_features": dq.q_media_features,
         # --- rest of the round-4 window (driver-green in r04) --------------
         "quality": dq.q_quality,
         "langid": dq.q_langid,
@@ -790,7 +793,18 @@ def oracle_sql() -> dict[str, str]:
                    FROM tokpos GROUP BY 1, 2),
             dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM tokpos GROUP BY 1),
             stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
-            qterms(term) AS (VALUES ('data'), ('spark'), ('window')),
+            -- extended grammar: ("data spark" OR merge) AND scan -key
+            match_docs AS (
+                SELECT DISTINCT doc_id FROM dl
+                WHERE (doc_id IN (SELECT doc_id FROM phrase_docs)
+                       OR doc_id IN (SELECT DISTINCT doc_id FROM tokpos
+                                     WHERE term = 'merge'))
+                  AND doc_id IN (SELECT DISTINCT doc_id FROM tokpos
+                                 WHERE term = 'scan')
+                  AND doc_id NOT IN (SELECT DISTINCT doc_id FROM tokpos
+                                     WHERE term = 'key')
+            ),
+            qterms(term) AS (VALUES ('data'), ('spark'), ('merge'), ('scan')),
             df AS (SELECT tf.term, count(*)::DOUBLE AS df
                    FROM tf JOIN qterms USING (term) GROUP BY tf.term),
             scores AS (
@@ -804,9 +818,7 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY tf.doc_id)
             SELECT sc.doc_id, round(sc.score, 6) AS score
             FROM scores sc
-            JOIN phrase_docs p ON sc.doc_id = p.doc_id
-            WHERE sc.doc_id NOT IN
-                  (SELECT DISTINCT doc_id FROM tokpos WHERE term = 'key')
+            JOIN match_docs p ON sc.doc_id = p.doc_id
             ORDER BY round(sc.score, 6) DESC, sc.doc_id LIMIT 10
         """,
         # top_hits: per lang the 3 largest-n_chars docs, tie-break by the
@@ -1376,6 +1388,24 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
             ORDER BY id_a, id_b
+        """,
+        # media features: payloads are closed-form in (doc_id, position)
+        # (synth_media_for_ids), so the decoded features are pure
+        # arithmetic — image brightness = avg over the 768 channel values
+        # (id*37+j) % 251; audio rms over samples ((id*13+i) % 201) - 100
+        # scaled by 1/32768 (exact in float32 ⇒ float64 mean is exact)
+        "media_features": """
+            SELECT d.doc_id, 'audio' AS kind, 0.0 AS brightness,
+                   round(sqrt((SELECT avg(pow(
+                       (((d.doc_id * 13 + t.i) % 201) - 100) / 32768.0, 2))
+                       FROM range(1024) t(i))), 6) AS rms
+            FROM documents d
+            UNION ALL
+            SELECT d.doc_id, 'image',
+                   round((SELECT avg((d.doc_id * 37 + t.j) % 251)
+                          FROM range(768) t(j)), 6), 0.0
+            FROM documents d
+            ORDER BY doc_id, kind
         """,
         # word-3-gram MinHash dedup, exact-verified (LSH candidate miss
         # ≤ ~1e-4 at the 0.5 threshold, 32 bands × 2 rows; estimator filter

@@ -117,7 +117,6 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool) -> dict:
     from deces_dataprep_ray.index.query import (
         search_exact,
         search_pruned,
-        search_wand,
     )
     from deces_dataprep_ray.index.reader import IndexReader
 
@@ -176,25 +175,23 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool) -> dict:
 
     reader = IndexReader(index_dir)
 
-    # query latency: one warm pass, then timed; `pruned` is the scale path,
-    # all three scorers are rank-identical (tested)
+    # query latency: one warm pass, then timed; `pruned` is the scale path.
+    # Doc-at-a-time WAND is a rank-identity TEST ORACLE only (never picked
+    # by algorithm="auto"); benching its Python loop every round measured
+    # dead weight (663 ms p50 in BENCH_r04) — retired per the r04 verdict,
+    # rank-identity coverage unchanged in tests/test_index.py.
     for q in BENCH_QUERIES[:5]:
         search_pruned(reader, q, 10)
-    lat_p, lat_wand, lat_exact = [], [], []
+    lat_p, lat_exact = [], []
     for q in BENCH_QUERIES:
         t = time.time()
         search_pruned(reader, q, 10)
         lat_p.append(time.time() - t)
     for q in BENCH_QUERIES:
         t = time.time()
-        search_wand(reader, q, 10)
-        lat_wand.append(time.time() - t)
-    for q in BENCH_QUERIES:
-        t = time.time()
         search_exact(reader, q, 10)
         lat_exact.append(time.time() - t)
     queries["query_pruned_p50"] = round(statistics.median(lat_p), 4)
-    queries["query_wand_p50"] = round(statistics.median(lat_wand), 4)
     queries["query_exact_p50"] = round(statistics.median(lat_exact), 4)
     flush()
 

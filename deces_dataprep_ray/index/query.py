@@ -1140,14 +1140,205 @@ def parse_query_string(qs: str) -> dict:
             "phrases": phrases}
 
 
+_QS_EXTENDED = None  # compiled lazily
+
+
+def _qs_is_extended(qs: str) -> bool:
+    """Extended grammar activates iff the query uses AND / OR (uppercase
+    reserved words), parentheses, or a ``field:term`` atom — the flat
+    round-4 subset stays byte-identical on the old path."""
+    import re as _re
+
+    global _QS_EXTENDED
+    if _QS_EXTENDED is None:
+        _QS_EXTENDED = _re.compile(
+            r"\bAND\b|\bOR\b|[()]"
+            r"|(?:^|[\s(])-?[A-Za-z_][A-Za-z0-9_.]*:\S")
+    return bool(_QS_EXTENDED.search(qs))
+
+
+def parse_query_string_ast(qs: str):
+    """Parse the EXTENDED query_string grammar to an AST (round-5
+    extension of the round-4 flat subset; frozen and documented):
+
+    - ``a b``                → OR (ES default operator)
+    - ``a AND b``            → AND (binds tighter than OR)
+    - ``(a OR b) AND c``     → grouping
+    - ``-x`` / ``- (…)``     → negation (set subtraction at its bool
+      level; a bool level with ONLY negative operands matches nothing)
+    - ``field:term``         → the term in that field (fielded index)
+    - ``"tok toks"``         → exact phrase (positional index)
+
+    AND / OR are reserved UPPERCASE; lowercase and/or are ordinary terms.
+    Nodes: ("or"|"and", [ops]) / ("not", op) / ("term", t) /
+    ("field", f, t) / ("phrase", text) / ("empty",)."""
+    import re as _re
+
+    toks = _re.findall(r'\(|\)|"[^"]*"|[^\s()"]+', qs)
+    pos = [0]
+
+    def peek():
+        return toks[pos[0]] if pos[0] < len(toks) else None
+
+    def advance():
+        pos[0] += 1
+
+    def word_atom(w: str):
+        m = _re.match(r"^([A-Za-z_][A-Za-z0-9_.]*):(\S+)$", w)
+        if m:
+            field, val = m.group(1), m.group(2)
+            vt = tokenize(val)
+            if not vt:
+                return ("empty",)
+            if len(vt) == 1:
+                return ("field", field, vt[0])
+            return ("or", [("field", field, t) for t in vt])
+        wt = tokenize(w)
+        if not wt:
+            return ("empty",)
+        if len(wt) == 1:
+            return ("term", wt[0])
+        return ("or", [("term", t) for t in wt])
+
+    def parse_atom():
+        t = peek()
+        if t is None:
+            return ("empty",)
+        if t == "(":
+            advance()
+            e = parse_or()
+            if peek() == ")":
+                advance()
+            return e
+        if t == ")":
+            return ("empty",)
+        advance()
+        if t.startswith('"'):
+            inner = t[1:-1]
+            return ("phrase", inner) if tokenize(inner) else ("empty",)
+        if t == "-":
+            return ("not", parse_atom())
+        if t.startswith("-") and len(t) > 1:
+            return ("not", word_atom(t[1:]))
+        return word_atom(t)
+
+    def parse_and():
+        ops = [parse_atom()]
+        while peek() == "AND":
+            advance()
+            ops.append(parse_atom())
+        ops = [o for o in ops if o != ("empty",)] or [("empty",)]
+        return ("and", ops) if len(ops) > 1 else ops[0]
+
+    def parse_or():
+        ops = [parse_and()]
+        while peek() is not None and peek() != ")":
+            if peek() == "OR":
+                advance()
+            ops.append(parse_and())
+        ops = [o for o in ops if o != ("empty",)] or [("empty",)]
+        return ("or", ops) if len(ops) > 1 else ops[0]
+
+    return parse_or()
+
+
+def _qs_eval(node, reader: IndexReader, leaves: list) -> np.ndarray:
+    """Evaluate an AST node to its sorted uint64 match set, collecting
+    positive scoring leaves (negated subtrees never score — the round-4
+    must_not rule)."""
+    kind = node[0]
+    if kind == "empty":
+        return np.empty(0, np.uint64)
+    if kind == "term":
+        leaves.append(("term", node[1]))
+        docs, _, _ = reader.postings(node[1])
+        return np.unique(np.asarray(docs, np.uint64))
+    if kind == "field":
+        leaves.append(("field", node[1], node[2]))
+        if node[1] not in getattr(reader, "field_stats", {}):
+            return np.empty(0, np.uint64)  # unknown field matches nothing
+        docs, _, _ = reader.postings(f"{node[1]}:{node[2]}")
+        return np.unique(np.asarray(docs, np.uint64))
+    if kind == "phrase":
+        for t in tokenize(node[1]):
+            leaves.append(("term", t))
+        surv = search_phrase(reader, node[1], k=max(int(reader.n_docs), 1))
+        return np.unique(np.asarray([d for d, _ in surv], np.uint64))
+    if kind == "not":
+        raise ValueError("negation is only valid inside a bool level")
+    pos_sets, neg_sets = [], []
+    for op in node[1]:
+        if op[0] == "not":
+            neg_sets.append(_qs_eval(op[1], reader, []))
+        else:
+            pos_sets.append(_qs_eval(op, reader, leaves))
+    if not pos_sets:
+        out = np.empty(0, np.uint64)  # only-negative level matches nothing
+    elif kind == "or":
+        out = np.unique(np.concatenate(pos_sets))
+    else:
+        out = pos_sets[0]
+        for s in pos_sets[1:]:
+            out = out[np.isin(out, s, assume_unique=True)]
+    for s in neg_sets:
+        if len(out) and len(s):
+            out = out[~np.isin(out, s, assume_unique=True)]
+    return out
+
+
+def _qs_score(reader: IndexReader, leaves: list, ids: np.ndarray,
+              k: int) -> list[tuple[int, float]]:
+    """Score the match set: OR-BM25 sum over every positive leaf —
+    unfielded terms against the main index stats, ``field:term`` leaves
+    with that field's docCount/avgdl (the fielded bool scorer's weights)."""
+    if not len(ids):
+        return []
+    terms = sorted({t for kind, *rest in leaves if kind == "term"
+                    for t in [rest[0]]})
+    fields = sorted({(f, t) for kind, *rest in leaves if kind == "field"
+                     for f, t in [tuple(rest)]})
+    total: dict = {}
+    if terms:
+        union, scores = _score_all(reader, " ".join(terms))
+        keep = np.isin(union, ids, assume_unique=True)
+        for d, s in zip(union[keep], scores[keep]):
+            total[int(d)] = total.get(int(d), 0.0) + float(s)
+    if fields:
+        from .fielded import _score_fields_all
+
+        fu, fs = _score_fields_all(reader, list(fields))
+        keep = np.isin(fu, ids, assume_unique=True)
+        for d, s in zip(fu[keep], fs[keep]):
+            total[int(d)] = total.get(int(d), 0.0) + float(s)
+    live = [(d, s) for d, s in total.items() if s > 0.0]
+    if not live:
+        return []
+    docs = np.asarray([d for d, _ in live], np.uint64)
+    vals = np.asarray([s for _, s in live], np.float64)
+    order = np.argsort(docs)
+    return _topk_from_scores(docs[order], vals[order], k)
+
+
 def search_query_string(
     reader: IndexReader, qs: str, k: int = 10,
 ) -> list[tuple[int, float]]:
-    """ES ``query_string`` over the frozen grammar of
-    :func:`parse_query_string`: docs score the OR-BM25 sum over every
-    positive term (bare terms + phrase tokens, deduped), restricted to docs
-    containing every quoted phrase (must), minus docs holding any must_not
-    term. Phrases need a positional index, like ``search_phrase``."""
+    """ES ``query_string``. Two frozen modes:
+
+    - FLAT (the round-4 subset — no AND/OR/parens/field:): docs score the
+      OR-BM25 sum over every positive term (bare terms + phrase tokens,
+      deduped), restricted to docs containing every quoted phrase (must),
+      minus docs holding any must_not term.
+    - EXTENDED (:func:`parse_query_string_ast`): the boolean tree
+      evaluates to a match set (AND = ∩, OR = ∪, ``-`` = ∖ at its level;
+      phrases and ``field:term`` are ordinary operands), and matching
+      docs score the OR-BM25 sum over every positive leaf (fielded leaves
+      with their field's stats). Negated subtrees never score.
+
+    Phrases need a positional index, like ``search_phrase``."""
+    if _qs_is_extended(qs):
+        leaves: list = []
+        ids = _qs_eval(parse_query_string_ast(qs), reader, leaves)
+        return _qs_score(reader, leaves, ids, k)
     parsed = parse_query_string(qs)
     pos_terms = set(parsed["should"])
     for ph in parsed["phrases"]:

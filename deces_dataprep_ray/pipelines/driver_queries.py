@@ -1597,14 +1597,18 @@ def q_constant_score(sf_dir: str) -> pd.DataFrame:
 
 
 def q_query_string(sf_dir: str) -> pd.DataFrame:
-    """query_string '"data spark" window -key': quoted phrase is a MUST
-    (adjacent positions), bare terms bool-should, -key excludes; score =
-    OR-BM25 over {data, spark, window}."""
+    """EXTENDED query_string '("data spark" OR merge) AND scan -key'
+    (round-5 grammar: AND/OR, parentheses, phrases and negation as bool
+    operands — ``parse_query_string_ast``): match set =
+    (phrase ∪ merge) ∩ scan ∖ key, score = OR-BM25 over
+    {data, spark, merge, scan}. The round-4 flat subset keeps its own
+    code path and its tests (test_round4_ops)."""
     from ..index.query import search_query_string
     from ..index.reader import IndexReader
 
     reader = IndexReader(_positional_index_for(sf_dir))
-    res = search_query_string(reader, '"data spark" window -key', k=400)
+    res = search_query_string(
+        reader, '("data spark" OR merge) AND scan -key', k=400)
     return _rounded_topk(res, reader)
 
 
@@ -1724,3 +1728,31 @@ def q_extended_stats(sf_dir: str) -> pd.DataFrame:
         "variance": round_away([out["variance"]], 4),
         "std_dev": round_away([out["std_deviation"]], 4),
     })
+
+
+def q_media_features(sf_dir: str) -> pd.DataFrame:
+    """Multimodal pipeline gate over the REAL decode paths: closed-form
+    media payloads (synth_media_for_ids — every byte a pure function of
+    (doc_id, position)) flow through the actor-pool MediaFeatures stage,
+    which decodes P6 PPM / WAV PCM with the shipped numpy/stdlib kernels
+    and emits image brightness + audio RMS. The DuckDB oracle recomputes
+    both features arithmetically from the same closed form — the first
+    driver row for stages/multimodal.py (compressed codecs remain honest
+    NotImplementedError stubs; this gates everything around them)."""
+    from ..stages.multimodal import MediaFeatures, synth_media_for_ids
+
+    def synth(t: pa.Table) -> pa.Table:
+        return synth_media_for_ids(t["doc_id"].to_numpy())
+
+    feats = (
+        _read(sf_dir, "documents", ["doc_id"])
+        .map_batches(synth, batch_format="pyarrow", batch_size=256)
+        # binary payloads dominate block size — small batches, let the
+        # streaming executor backpressure (multimodal.py guidance)
+        .map_batches(MediaFeatures, batch_format="pyarrow", batch_size=64,
+                     concurrency=(1, 4))
+    )
+    out = feats.to_pandas().rename(columns={"media_id": "doc_id"})
+    out["brightness"] = round_away(out["brightness"], 6)
+    out["rms"] = round_away(out["rms"], 6)
+    return out.sort_values(["doc_id", "kind"]).reset_index(drop=True)

@@ -336,6 +336,88 @@ class SampleFrames:
         )
 
 
+class MediaFeatures:
+    """Actor-pool map_batches stage: media rows → deterministic QA
+    features through the REAL decode kernels (the features every corpus
+    audit computes before training on media): image mean brightness
+    (float64 mean over all RGB channel values) and audio RMS (decoded
+    waveform cast to float64 before the mean — int16/32768 values are
+    exact in float32, and the float64 accumulation keeps the result
+    bit-stable against a SQL double oracle). A feature that does not
+    apply to the row's kind is 0.0 (frozen — avoids nullable-column
+    hashing ambiguity in the driver compare)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        mimes = batch["mime"].to_pylist()
+        n = len(payloads)
+        brightness = np.zeros(n, np.float64)
+        rms = np.zeros(n, np.float64)
+        for i, (p, mime) in enumerate(zip(payloads, mimes)):
+            dec = _IMAGE_DECODERS.get(mime or "")
+            if dec is not None:
+                brightness[i] = float(dec(p).astype(np.float64).mean())
+            elif mime == "audio/wav":
+                x, _ = decode_wav(p)
+                if len(x):
+                    x64 = x.astype(np.float64)
+                    rms[i] = float(np.sqrt(np.mean(x64 * x64)))
+            else:
+                raise NotImplementedError(
+                    f"features for {mime!r} need PIL/ffmpeg — not in this "
+                    "container (PPM/BMP/WAV compute natively)")
+        return pa.table({
+            "media_id": batch["media_id"],
+            "kind": batch["kind"],
+            "brightness": pa.array(brightness, pa.float64()),
+            "rms": pa.array(rms, pa.float64()),
+        })
+
+
+def synth_media_for_ids(ids: np.ndarray) -> pa.Table:
+    """Closed-form media payloads per integer id — every byte is a pure
+    arithmetic function of (id, position), so a SQL oracle can recompute
+    the decoded features without any media library:
+
+    - image row: 16×16 P6 PPM, channel value j (raster order, j in
+      0..767) = ``(id*37 + j) % 251``;
+    - audio row: 1024-sample 16-bit mono WAV @8kHz, sample i =
+      ``((id*13 + i) % 201) - 100``.
+
+    Returns MEDIA_SCHEMA rows, two per id (image + audio)."""
+    ids = np.asarray(ids, np.int64)
+    n = len(ids)
+    rows = {k: [] for k in MEDIA_SCHEMA.names}
+    jj = np.arange(16 * 16 * 3, dtype=np.int64)
+    ii = np.arange(1024, dtype=np.int64)
+    pix = ((ids[:, None] * 37 + jj[None, :]) % 251).astype(np.uint8)
+    smp = (((ids[:, None] * 13 + ii[None, :]) % 201) - 100).astype(np.int16)
+    for r in range(n):
+        rows["media_id"].append(int(ids[r]))
+        rows["kind"].append("image")
+        rows["payload"].append(encode_ppm(pix[r].reshape(16, 16, 3)))
+        rows["mime"].append("image/x-portable-pixmap")
+        rows["width"].append(16)
+        rows["height"].append(16)
+        rows["duration_ms"].append(-1)
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as f:
+            f.setnchannels(1)
+            f.setsampwidth(2)
+            f.setframerate(8000)
+            f.writeframes(smp[r].tobytes())
+        rows["media_id"].append(int(ids[r]))
+        rows["kind"].append("audio")
+        rows["payload"].append(buf.getvalue())
+        rows["mime"].append("audio/wav")
+        rows["width"].append(-1)
+        rows["height"].append(-1)
+        rows["duration_ms"].append(128)
+        del buf
+    return pa.table({k: pa.array(v, MEDIA_SCHEMA.field(k).type)
+                     for k, v in rows.items()})
+
+
 def synth_media_table(n: int, seed: int = 42) -> pa.Table:
     """Deterministic media rows with REAL decodable payloads: P6 images,
     16-bit PCM WAV audio, x-raw video."""

@@ -225,8 +225,159 @@ def test_query_string_two_phrases_no_topk_truncation(ray_session, tmp_path):
 
 
 # ---------------------------------------------------------------------------
-# top_hits: numeric doc_id tie-break + int64 timestamp precision
+# media features through the real decode kernels
 # ---------------------------------------------------------------------------
+
+def test_media_features_closed_form():
+    """MediaFeatures over synth_media_for_ids equals the closed form the
+    SQL oracle uses — through the REAL PPM/WAV decode kernels."""
+    from deces_dataprep_ray.stages.multimodal import (
+        MediaFeatures,
+        synth_media_for_ids,
+    )
+
+    ids = np.array([0, 1, 7, 123456], np.int64)
+    out = MediaFeatures()(synth_media_for_ids(ids)).to_pandas()
+    assert len(out) == 2 * len(ids)
+    for d in ids:
+        img = out[(out["media_id"] == d) & (out["kind"] == "image")]
+        au = out[(out["media_id"] == d) & (out["kind"] == "audio")]
+        j = np.arange(768, dtype=np.int64)
+        want_b = float(np.mean((d * 37 + j) % 251))
+        i = np.arange(1024, dtype=np.int64)
+        s = (((d * 13 + i) % 201) - 100) / 32768.0
+        want_r = float(np.sqrt(np.mean(s * s)))
+        assert float(img["brightness"].iloc[0]) == pytest.approx(
+            want_b, abs=1e-12)
+        assert float(img["rms"].iloc[0]) == 0.0
+        assert float(au["rms"].iloc[0]) == pytest.approx(want_r, abs=1e-12)
+        assert float(au["brightness"].iloc[0]) == 0.0
+
+
+def test_media_features_rejects_compressed():
+    from deces_dataprep_ray.stages.multimodal import MEDIA_SCHEMA, MediaFeatures
+
+    t = pa.table({
+        "media_id": pa.array([0], pa.int64()),
+        "kind": pa.array(["image"], pa.string()),
+        "payload": pa.array([b"\xff\xd8jpegdata"], pa.large_binary()),
+        "mime": pa.array(["image/jpeg"], pa.string()),
+        "width": pa.array([-1], pa.int32()),
+        "height": pa.array([-1], pa.int32()),
+        "duration_ms": pa.array([-1], pa.int32()),
+    }).cast(MEDIA_SCHEMA)
+    with pytest.raises(NotImplementedError):
+        MediaFeatures()(t)
+
+
+# ---------------------------------------------------------------------------
+# query_string extended grammar: AND / OR / parens / field: / -
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def qs_corpus(ray_session, tmp_path_factory):
+    d = tmp_path_factory.mktemp("r5qs")
+    rng = np.random.default_rng(7)
+    vocab = ["data", "spark", "window", "scan", "merge", "key", "row"]
+    n = 90
+    texts = [" ".join(rng.choice(vocab, rng.integers(3, 12)))
+             for _ in range(n)]
+    df = pd.DataFrame({"url": [f"doc://{i}" for i in range(n)],
+                       "text": texts})
+    src = str(d / "c.parquet")
+    df.to_parquet(src)
+    idx = str(d / "idx")
+    build_index(src, idx, num_buckets=4, salt_shards=2, head_min_df=1000,
+                store_positions=True, batch_size=16)
+    return df, idx
+
+
+def _qs_oracle(df, match_fn, score_terms):
+    """Brute force: docs where match_fn(tokens) holds, scored OR-BM25 over
+    score_terms."""
+    toks = [tokenize(t) for t in df["text"]]
+    dls = [len(t) for t in toks]
+    n = len(df)
+    avg = sum(dls) / n
+    dids = [doc_id_from_url(u) for u in df["url"]]
+    out = {}
+    for i in range(n):
+        if not match_fn(toks[i]):
+            continue
+        s = 0.0
+        for term in sorted(set(score_terms)):
+            pl = sum(1 for tt in toks if term in tt)
+            tf = toks[i].count(term)
+            if tf and pl:
+                s += _idf(n, pl) * tf / (
+                    tf + 1.2 * (1 - 0.75 + 0.75 * dls[i] / avg))
+        if s > 0:
+            out[dids[i]] = s
+    return out
+
+
+def _assert_topk(got, want, k=10):
+    w = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    assert [(d, round(s, 9)) for d, s in got] == \
+        [(d, round(s, 9)) for d, s in w]
+
+
+def test_query_string_extended_boolean(qs_corpus):
+    from deces_dataprep_ray.index.query import search_query_string
+    from deces_dataprep_ray.index.reader import IndexReader
+
+    df, idx = qs_corpus
+    r = IndexReader(idx)
+
+    got = search_query_string(r, "(data OR spark) AND window", k=10)
+    want = _qs_oracle(
+        df, lambda t: ("data" in t or "spark" in t) and "window" in t,
+        ["data", "spark", "window"])
+    _assert_topk(got, want)
+
+    got = search_query_string(r, "data AND -key", k=10)
+    want = _qs_oracle(df, lambda t: "data" in t and "key" not in t,
+                      ["data"])
+    _assert_topk(got, want)
+
+    got = search_query_string(r, '("data spark" OR merge) AND scan', k=10)
+    want = _qs_oracle(
+        df,
+        lambda t: (any(a == "data" and b == "spark"
+                       for a, b in zip(t, t[1:])) or "merge" in t)
+        and "scan" in t,
+        ["data", "spark", "merge", "scan"])
+    _assert_topk(got, want)
+
+    # juxtaposition = OR; AND binds tighter
+    got = search_query_string(r, "data AND key merge", k=10)
+    want = _qs_oracle(
+        df, lambda t: ("data" in t and "key" in t) or "merge" in t,
+        ["data", "key", "merge"])
+    _assert_topk(got, want)
+
+    # flat subset still served by the old path, unchanged
+    from deces_dataprep_ray.index.query import _qs_is_extended
+    assert not _qs_is_extended('"data spark" window -key')
+    assert _qs_is_extended("a AND b")
+    assert _qs_is_extended("lang:en")
+    assert not _qs_is_extended("lowercase and or terms")
+
+
+def test_query_string_field_atom(ts_index):
+    """field:term matches and scores with the field's own stats."""
+    from deces_dataprep_ray.index.fielded import search_fields
+    from deces_dataprep_ray.index.query import search_query_string
+
+    df, idx = ts_index
+    r = IndexReader(idx)
+    got = search_query_string(r, "body:data AND lang:xx", k=10)
+    assert got == []  # lang is keyword-only here, xx matches nothing
+    got = search_query_string(r, "body:data", k=10)
+    want = search_fields(r, [("body", "data")], k=10, algorithm="exact")
+    assert got == want
+    # unknown field matches nothing (frozen)
+    assert search_query_string(r, "nosuch:data", k=5) == []
 
 @pytest.fixture(scope="module")
 def ts_index(ray_session, tmp_path_factory):
