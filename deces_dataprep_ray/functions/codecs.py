@@ -237,6 +237,47 @@ def decode_block(enc: dict, i: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]
     return docs, tfs, dls
 
 
+def binary_column_view(col) -> tuple[np.ndarray, np.ndarray]:
+    """Zero-copy (data u8, per-row int64 offsets) view of an Arrow
+    binary / large_binary column (ChunkedArray or Array). The returned
+    data array is already sliced to the column's rows; offsets are
+    rebased to 0."""
+    import pyarrow as pa
+
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    off_dt = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+    offs = np.frombuffer(arr.buffers()[1], off_dt)[
+        arr.offset: arr.offset + len(arr) + 1].astype(np.int64)
+    data = np.frombuffer(arr.buffers()[2] or b"", np.uint8)
+    return data[offs[0]: offs[-1]], offs - offs[0]
+
+
+def binary_column_from(data: bytes | np.ndarray, offsets: np.ndarray):
+    """Build a large_binary Array from a flat byte stream + int64 row
+    offsets without any per-row Python objects."""
+    import pyarrow as pa
+
+    offs = np.ascontiguousarray(offsets, np.int64)
+    buf = data.tobytes() if isinstance(data, np.ndarray) else data
+    return pa.Array.from_buffers(
+        pa.large_binary(), len(offs) - 1,
+        [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(buf)])
+
+
+def delta_decode_segments(deltas: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Segmented delta-decode: segment r (``lens[r]`` values) was encoded
+    with its first value absolute. One global cumsum + modular base
+    subtraction — exact mod 2^64 even though the cross-segment cumsum
+    wraps, because each segment's true values are < 2^64."""
+    c = np.cumsum(np.ascontiguousarray(deltas, _U64), dtype=_U64)
+    lens = np.ascontiguousarray(lens, np.int64)
+    starts = np.cumsum(lens) - lens
+    base = np.zeros(len(lens), _U64)
+    nz = np.flatnonzero(starts > 0)
+    base[nz] = c[starts[nz] - 1]
+    return c - np.repeat(base, lens)
+
+
 def encode_positions(flat_pos: np.ndarray, lens: np.ndarray) -> bytes:
     """Varbyte stream of per-posting token positions.
 

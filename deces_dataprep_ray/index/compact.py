@@ -127,17 +127,6 @@ def _table_rows(tbl: pa.Table, with_pos: bool):
         }
 
 
-def _flat_binary(col: pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray]:
-    """Zero-copy (bytes, per-row offsets) view of a binary column."""
-    arr = col.combine_chunks()
-    off_dt = (np.int64 if pa.types.is_large_binary(arr.type)
-              else np.int32)
-    offs = np.frombuffer(arr.buffers()[1], off_dt)[
-        arr.offset: arr.offset + len(arr) + 1].astype(np.int64)
-    data = np.frombuffer(arr.buffers()[2] or b"", np.uint8)
-    return data[offs[0]: offs[-1]], offs - offs[0]
-
-
 def _decode_bucket_table(tbl: pa.Table, with_pos: bool, excl: np.ndarray):
     """Columnar decode of a WHOLE bucket table: one ``vb_decode`` per
     stream over the zero-copy concatenated buffer (varbyte is
@@ -153,24 +142,24 @@ def _decode_bucket_table(tbl: pa.Table, with_pos: bool, excl: np.ndarray):
     nrows = tbl.num_rows
     if nrows == 0:
         return None
+    from ..functions.codecs import (
+        binary_column_view,
+        delta_decode_segments,
+        vb_decode,
+    )
+
     n = tbl["n"].to_numpy().astype(np.int64)
     total = int(n.sum())
-    doc_b, _ = _flat_binary(tbl["doc_bytes"])
-    tf_b, _ = _flat_binary(tbl["tf_bytes"])
-    dl_b, _ = _flat_binary(tbl["dl_bytes"])
-    from ..functions.codecs import vb_decode
-
-    deltas = vb_decode(doc_b, total)
+    doc_b, _ = binary_column_view(tbl["doc_bytes"])
+    tf_b, _ = binary_column_view(tbl["tf_bytes"])
+    dl_b, _ = binary_column_view(tbl["dl_bytes"])
     tfs = vb_decode(tf_b, total).astype(np.uint8)
     dls = vb_decode(dl_b, total).astype(np.uint16)
+    docs = delta_decode_segments(vb_decode(doc_b, total), n)
     starts = np.cumsum(n) - n
-    c = np.cumsum(deltas, dtype=np.uint64)
-    base = np.zeros(nrows, np.uint64)
-    base[1:] = c[starts[1:] - 1]
-    docs = c - np.repeat(base, n)  # exact: within-row sums < 2^64
     poss = pos_lens = None
     if with_pos:
-        pos_b, _ = _flat_binary(tbl["pos_bytes"])
+        pos_b, _ = binary_column_view(tbl["pos_bytes"])
         pos_lens = np.minimum(tfs, 255).astype(np.int64)
         poss = decode_positions(pos_b.tobytes(), pos_lens).astype(np.uint32)
     keep = (~np.isin(docs, excl) if len(excl)
