@@ -58,19 +58,35 @@ class DropCounter:
         return self.n
 
 
-def _bound_bucket(g: pd.DataFrame, max_bucket: int, drop_counter, what: str
-                  ) -> pd.DataFrame:
-    """Cap a verification bucket at ``max_bucket`` rows, NEVER silently:
-    the drop count is logged and (if given) accumulated on the counter actor."""
-    if len(g) > max_bucket:
-        dropped = len(g) - max_bucket
-        if drop_counter is not None:
-            drop_counter.add.remote(dropped)
-        logger.warning("%s: bucket of %d capped at max_bucket=%d "
-                       "(%d candidates dropped)", what, len(g), max_bucket,
-                       dropped)
-        g = g.head(max_bucket)
-    return g
+# Verification groupbys shard the bucket key space into this many coarse
+# groups instead of one map_groups group PER bucket: bucket keys are
+# near-unique (band hashes), so per-bucket grouping paid one pandas
+# invocation per 1-2 rows — measured 12 s of pure per-group overhead on a
+# 160k-row band table whose actual pair work was milliseconds. A shard
+# holds many buckets; the verifier walks runs of equal key vectorized.
+_VERIFY_SHARDS = 1024
+
+
+def _shard_rows(t: pa.Table, key: str = "bucket") -> pa.Table:
+    k = t[key].combine_chunks().to_numpy(zero_copy_only=False)
+    return t.append_column(
+        "shard", pa.array((k % np.uint64(_VERIFY_SHARDS)).astype(np.int64)))
+
+
+def _runs_ge2(keys: np.ndarray):
+    """(start, end) pairs of runs of equal key with length ≥ 2 — ``keys``
+    must be sorted. The verifier loops over THESE (few — only buckets that
+    can produce a pair), never over all buckets."""
+    if len(keys) < 2:
+        return
+    change = np.empty(len(keys), bool)
+    change[0] = True
+    np.not_equal(keys[1:], keys[:-1], out=change[1:])
+    starts = np.flatnonzero(change)
+    ends = np.concatenate((starts[1:], [len(keys)]))
+    for s, e in zip(starts, ends):
+        if e - s >= 2:
+            yield int(s), int(e)
 
 
 def _unique_pairs(pairs: rd.Dataset, value_col: str) -> rd.Dataset:
@@ -455,23 +471,40 @@ def minhash_lsh_duplicates(
                        rows_per_band=rows_per_band),
         batch_format="pyarrow")
 
-    def verify_group(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
-        g = _bound_bucket(g.sort_values(id_col), max_bucket, drop_counter,
-                          "minhash_lsh")
-        ids = g[id_col].to_numpy()
-        sig = np.stack([np.asarray(s, dtype=np.uint64) for s in g["minhash"]])
+    def verify_shard(g: pd.DataFrame) -> pd.DataFrame:
+        """One map_groups call per SHARD (not per band bucket): walk runs
+        of equal band_key, signature-verify pairs only inside runs of ≥ 2.
+        Signatures materialize per run, never for singleton buckets."""
         out_a, out_b, out_j = [], [], []
-        for i in range(len(ids) - 1):
-            eq = (sig[i + 1:] == sig[i]).mean(axis=1)
-            hit = np.flatnonzero((eq >= threshold) & (ids[i + 1:] != ids[i]))
-            out_a.extend([ids[i]] * len(hit))
-            out_b.extend(ids[i + 1 + hit])
-            out_j.extend(eq[hit])
+        if len(g) >= 2:
+            g = g.sort_values(["band_key", id_col], kind="stable")
+            keys = g["band_key"].to_numpy()
+            ids_all = g[id_col].to_numpy()
+            sig_col = g["minhash"].to_numpy()
+            for s, e in _runs_ge2(keys):
+                if e - s > max_bucket:
+                    if drop_counter is not None:
+                        drop_counter.add.remote(e - s - max_bucket)
+                    logger.warning(
+                        "minhash_lsh: bucket of %d capped at max_bucket=%d",
+                        e - s, max_bucket)
+                    e = s + max_bucket
+                ids = ids_all[s:e]
+                sig = np.stack([np.asarray(x, np.uint64)
+                                for x in sig_col[s:e]])
+                for i in range(len(ids) - 1):
+                    eq = (sig[i + 1:] == sig[i]).mean(axis=1)
+                    hit = np.flatnonzero((eq >= threshold)
+                                         & (ids[i + 1:] != ids[i]))
+                    out_a.extend([ids[i]] * len(hit))
+                    out_b.extend(ids[i + 1 + hit])
+                    out_j.extend(eq[hit])
         return pd.DataFrame({"id_a": out_a, "id_b": out_b, "jaccard": out_j})
 
-    pairs = bands.groupby("band_key").map_groups(verify_group, batch_format="pandas")
+    pairs = (bands.map_batches(_shard_rows, fn_kwargs=dict(key="band_key"),
+                               batch_format="pyarrow")
+             .groupby("shard").map_groups(verify_shard,
+                                          batch_format="pandas"))
     return _unique_pairs(pairs, "jaccard")
 
 
@@ -483,7 +516,11 @@ def exact_duplicates(
     ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "text"
 ) -> rd.Dataset:
     """One surviving row (min id) per distinct text: map_batches hash →
-    groupby(hash) → keep min. Returns (id_col, n_copies)."""
+    NATIVE ``groupby(hash).aggregate(Min, Count)``. Returns
+    (id_col, n_copies). The round-4 ``map_groups(keep_min)`` paid one
+    pandas invocation per distinct hash — O(corpus) Python at 10^12 docs;
+    the native aggregate is the whole point of the hash column."""
+    from ray.data.aggregate import Count as _Count
 
     def add_hash(batch: pa.Table) -> pa.Table:
         texts = ["" if t is None else t for t in batch[text_col].to_pylist()]
@@ -494,15 +531,11 @@ def exact_duplicates(
             "__h": pa.array(hs, pa.string()),
         })
 
-    hashed = ds.map_batches(add_hash, batch_format="pyarrow")
-
-    def keep_min(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            id_col: [g[id_col].min()],
-            "n_copies": [len(g)],
-        })
-
-    return hashed.groupby("__h").map_groups(keep_min, batch_format="pandas")
+    merged = (ds.map_batches(add_hash, batch_format="pyarrow")
+              .groupby("__h")
+              .aggregate(Min(id_col, alias_name=id_col),
+                         _Count(alias_name="n_copies")))
+    return merged.select_columns([id_col, "n_copies"])
 
 
 # ---------------------------------------------------------------------------
@@ -579,26 +612,38 @@ def simhash_duplicates(
 
     buckets = sh.map_batches(chunks, batch_format="pyarrow")
 
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
-        g = _bound_bucket(g.sort_values(id_col), max_bucket, drop_counter,
-                          "simhash")
-        ids = g[id_col].to_numpy()
-        hs = g["simhash"].to_numpy().astype(np.uint64)
+    def verify_shard(g: pd.DataFrame) -> pd.DataFrame:
         out_a, out_b, out_d = [], [], []
-        for i in range(len(ids) - 1):
-            x = hs[i + 1:] ^ hs[i]
-            # vectorized popcount: bytes → unpackbits → row sums
-            d = np.unpackbits(x.view(np.uint8).reshape(len(x), 8),
-                              axis=1).sum(axis=1)
-            hit = np.flatnonzero((d <= max_hamming) & (ids[i + 1:] != ids[i]))
-            out_a.extend([ids[i]] * len(hit))
-            out_b.extend(ids[i + 1 + hit])
-            out_d.extend(d[hit].astype(int))
+        if len(g) >= 2:
+            g = g.sort_values(["bucket", id_col], kind="stable")
+            keys = g["bucket"].to_numpy()
+            ids_all = g[id_col].to_numpy()
+            hs_all = g["simhash"].to_numpy().astype(np.uint64)
+            for s, e in _runs_ge2(keys):
+                if e - s > max_bucket:
+                    if drop_counter is not None:
+                        drop_counter.add.remote(e - s - max_bucket)
+                    logger.warning(
+                        "simhash: bucket of %d capped at max_bucket=%d",
+                        e - s, max_bucket)
+                    e = s + max_bucket
+                ids = ids_all[s:e]
+                hs = hs_all[s:e]
+                for i in range(len(ids) - 1):
+                    x = hs[i + 1:] ^ hs[i]
+                    # vectorized popcount: bytes → unpackbits → row sums
+                    d = np.unpackbits(x.view(np.uint8).reshape(len(x), 8),
+                                      axis=1).sum(axis=1)
+                    hit = np.flatnonzero((d <= max_hamming)
+                                         & (ids[i + 1:] != ids[i]))
+                    out_a.extend([ids[i]] * len(hit))
+                    out_b.extend(ids[i + 1 + hit])
+                    out_d.extend(d[hit].astype(int))
         return pd.DataFrame({"id_a": out_a, "id_b": out_b, "hamming": out_d})
 
-    pairs = buckets.groupby("bucket").map_groups(verify, batch_format="pandas")
+    pairs = (buckets.map_batches(_shard_rows, batch_format="pyarrow")
+             .groupby("shard").map_groups(verify_shard,
+                                          batch_format="pandas"))
     return _unique_pairs(pairs, "hamming")
 
 
@@ -880,30 +925,43 @@ def embedding_near_duplicates(
         concurrency=concurrency,
     )
 
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
-        g = _bound_bucket(g.sort_values(id_col), max_bucket, drop_counter,
-                          "embedding_lsh")
-        ids = g[id_col].to_numpy()
-        home = g["is_home"].to_numpy()
-        m = np.stack([np.asarray(v, np.float64) for v in g[vec_col]])
-        n = np.linalg.norm(m, axis=1, keepdims=True)
-        n[n == 0] = 1.0
-        sims = (m / n) @ (m / n).T
-        # vectorized pair mask: upper triangle, distinct ids, at least one
-        # side at home (avoids duplicate reporting across probe buckets)
-        ii, jj = np.triu_indices(len(ids), k=1)
-        keep = ((sims[ii, jj] >= threshold) & (ids[ii] != ids[jj])
-                & (home[ii] | home[jj]))
-        ii, jj = ii[keep], jj[keep]
-        return pd.DataFrame({
-            "id_a": np.minimum(ids[ii], ids[jj]),
-            "id_b": np.maximum(ids[ii], ids[jj]),
-            "cosine": sims[ii, jj],
-        })
+    def verify_shard(g: pd.DataFrame) -> pd.DataFrame:
+        out = {"id_a": [], "id_b": [], "cosine": []}
+        if len(g) >= 2:
+            g = g.sort_values(["bucket", id_col], kind="stable")
+            keys = g["bucket"].to_numpy()
+            ids_all = g[id_col].to_numpy()
+            home_all = g["is_home"].to_numpy()
+            vec_all = g[vec_col].to_numpy()
+            for s, e in _runs_ge2(keys):
+                if e - s > max_bucket:
+                    if drop_counter is not None:
+                        drop_counter.add.remote(e - s - max_bucket)
+                    logger.warning(
+                        "embedding_lsh: bucket of %d capped at "
+                        "max_bucket=%d", e - s, max_bucket)
+                    e = s + max_bucket
+                ids = ids_all[s:e]
+                home = home_all[s:e]
+                m = np.stack([np.asarray(v, np.float64)
+                              for v in vec_all[s:e]])
+                n = np.linalg.norm(m, axis=1, keepdims=True)
+                n[n == 0] = 1.0
+                sims = (m / n) @ (m / n).T
+                # upper triangle, distinct ids, at least one side at home
+                # (avoids duplicate reporting across probe buckets)
+                ii, jj = np.triu_indices(len(ids), k=1)
+                keep = ((sims[ii, jj] >= threshold) & (ids[ii] != ids[jj])
+                        & (home[ii] | home[jj]))
+                ii, jj = ii[keep], jj[keep]
+                out["id_a"].extend(np.minimum(ids[ii], ids[jj]))
+                out["id_b"].extend(np.maximum(ids[ii], ids[jj]))
+                out["cosine"].extend(sims[ii, jj])
+        return pd.DataFrame(out)
 
-    pairs = bucketed.groupby("bucket").map_groups(verify, batch_format="pandas")
+    pairs = (bucketed.map_batches(_shard_rows, batch_format="pyarrow")
+             .groupby("shard").map_groups(verify_shard,
+                                          batch_format="pandas"))
     return _unique_pairs(pairs, "cosine")
 
 
@@ -1000,27 +1058,38 @@ def embedding_near_duplicates_banded(
         concurrency=concurrency,
     )
 
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
-        g = _bound_bucket(g.sort_values(id_col), max_bucket, drop_counter,
-                          "embedding_banded_lsh")
-        ids = g[id_col].to_numpy()
-        m = np.stack([np.asarray(v, np.float64) for v in g[vec_col]])
-        n = np.linalg.norm(m, axis=1, keepdims=True)
-        n[n == 0] = 1.0
-        sims = (m / n) @ (m / n).T
-        ii, jj = np.triu_indices(len(ids), k=1)
-        keep = (sims[ii, jj] >= threshold) & (ids[ii] != ids[jj])
-        ii, jj = ii[keep], jj[keep]
-        return pd.DataFrame({
-            "id_a": np.minimum(ids[ii], ids[jj]),
-            "id_b": np.maximum(ids[ii], ids[jj]),
-            "cosine": sims[ii, jj],
-        })
+    def verify_shard(g: pd.DataFrame) -> pd.DataFrame:
+        out = {"id_a": [], "id_b": [], "cosine": []}
+        if len(g) >= 2:
+            g = g.sort_values(["bucket", id_col], kind="stable")
+            keys = g["bucket"].to_numpy()
+            ids_all = g[id_col].to_numpy()
+            vec_all = g[vec_col].to_numpy()
+            for s, e in _runs_ge2(keys):
+                if e - s > max_bucket:
+                    if drop_counter is not None:
+                        drop_counter.add.remote(e - s - max_bucket)
+                    logger.warning(
+                        "embedding_banded_lsh: bucket of %d capped at "
+                        "max_bucket=%d", e - s, max_bucket)
+                    e = s + max_bucket
+                ids = ids_all[s:e]
+                m = np.stack([np.asarray(v, np.float64)
+                              for v in vec_all[s:e]])
+                n = np.linalg.norm(m, axis=1, keepdims=True)
+                n[n == 0] = 1.0
+                sims = (m / n) @ (m / n).T
+                ii, jj = np.triu_indices(len(ids), k=1)
+                keep = (sims[ii, jj] >= threshold) & (ids[ii] != ids[jj])
+                ii, jj = ii[keep], jj[keep]
+                out["id_a"].extend(np.minimum(ids[ii], ids[jj]))
+                out["id_b"].extend(np.maximum(ids[ii], ids[jj]))
+                out["cosine"].extend(sims[ii, jj])
+        return pd.DataFrame(out)
 
-    pairs = bucketed.groupby("bucket").map_groups(verify,
-                                                  batch_format="pandas")
+    pairs = (bucketed.map_batches(_shard_rows, batch_format="pyarrow")
+             .groupby("shard").map_groups(verify_shard,
+                                          batch_format="pandas"))
     return _unique_pairs(pairs, "cosine")
 
 
