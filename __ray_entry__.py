@@ -69,6 +69,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- new this round ------------------------------------------------
         # multimodal plumbing through the real PPM/WAV decode kernels
         "media_features": dq.q_media_features,
+        # cross-document duplicated-span (boilerplate) detection
+        "dup_spans": dq.q_dup_spans,
         # --- rest of the round-4 window (driver-green in r04) --------------
         "quality": dq.q_quality,
         "langid": dq.q_langid,
@@ -1406,6 +1408,33 @@ def oracle_sql() -> dict[str, str]:
                           FROM range(768) t(j)), 6), 0.0
             FROM documents d
             ORDER BY doc_id, kind
+        """,
+        # duplicated-span detection: engine window hashes are injective
+        # 64-bit word-8-gram hashes; the oracle counts the same distinct
+        # gram strings (docs with < 8 tokens have no windows → no row)
+        "dup_spans": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x != '') AS w
+              FROM documents),
+            g AS (
+              SELECT doc_id,
+                     list_distinct([array_to_string(w[i:i+7], ' ')
+                                    for i in range(1, greatest(len(w) - 6, 1))])
+                     AS grams
+              FROM t),
+            r AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+            d AS (SELECT gram FROM r GROUP BY gram
+                  HAVING count(DISTINCT doc_id) >= 2),
+            nw AS (SELECT doc_id, count(*) AS n_windows FROM r GROUP BY doc_id),
+            nd AS (SELECT r.doc_id, count(*) AS n_dup FROM r
+                   JOIN d USING (gram) GROUP BY r.doc_id)
+            SELECT nw.doc_id, nw.n_windows,
+                   coalesce(nd.n_dup, 0) AS n_dup_windows,
+                   round(coalesce(nd.n_dup, 0) * 1.0 / nw.n_windows, 6)
+                   AS dup_frac
+            FROM nw LEFT JOIN nd USING (doc_id)
+            ORDER BY nw.doc_id
         """,
         # word-3-gram MinHash dedup, exact-verified (LSH candidate miss
         # ≤ ~1e-4 at the 0.5 threshold, 32 bands × 2 rows; estimator filter

@@ -1756,3 +1756,19 @@ def q_media_features(sf_dir: str) -> pd.DataFrame:
     out["brightness"] = round_away(out["brightness"], 6)
     out["rms"] = round_away(out["rms"], 6)
     return out.sort_values(["doc_id", "kind"]).reset_index(drop=True)
+
+
+def q_dup_spans(sf_dir: str) -> pd.DataFrame:
+    """Cross-document duplicated-span (boilerplate) detection over word
+    8-gram windows: per doc, total windows / windows shared with >= 2
+    distinct docs / boilerplate fraction. Fully native Ray Data (one
+    shingle pass, two groupbys, one hash join, union-zero fill); the
+    DuckDB oracle recomputes the same counts from distinct word-8-gram
+    strings (our 64-bit window hashes are injective at this scale and
+    deterministic — same argument as minhash_pairs)."""
+    from ..stages.dedup import duplicate_spans
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = duplicate_spans(ds, n_words=8, min_docs=2).to_pandas()
+    out["dup_frac"] = round_away(out["dup_frac"], 6)
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -1093,6 +1093,88 @@ def embedding_near_duplicates_banded(
     return _unique_pairs(pairs, "cosine")
 
 
+def duplicate_spans(
+    ds: rd.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n_words: int = 8,
+    min_docs: int = 2,
+) -> rd.Dataset:
+    """Cross-document duplicated-SPAN detection — the boilerplate finder
+    (the window-level analogue of pairwise near-dup; the "duplicate
+    substring" shape from the training-data dedup literature, re-expressed
+    over word windows): a doc's ``n_words``-gram window is DUPLICATED when
+    the same window occurs in ≥ ``min_docs`` distinct documents. Returns
+    one row per doc that has ≥ 1 window:
+    ``(id_col, n_windows, n_dup_windows, dup_frac)`` — the per-doc
+    boilerplate fraction a filtering pipeline thresholds on. Docs shorter
+    than ``n_words`` tokens have no windows and emit no row (frozen; the
+    SQL oracle excludes them identically).
+
+    Shape (all native Ray Data, nothing driver-side): one vectorized
+    word-shingle pass → per-doc DISTINCT (window_hash, doc) rows →
+    ``groupby(hash)`` doc counts (rows are per-doc unique, so count ==
+    distinct docs) → hash-join the ≥min_docs hashes back → per-doc counts
+    with a union-zero fill. The exchange carries 16-byte (hash, doc) rows
+    only; the row table is materialized once and reused by its three
+    consumers."""
+    from ray.data.aggregate import Count as _Count
+    from ray.data.aggregate import Sum as _Sum
+
+    from .join import hash_join
+
+    def windows(batch: pa.Table) -> pa.Table:
+        texts = ["" if t is None else t for t in batch[text_col].to_pylist()]
+        flat, offs = _word_shingles_batch(texts, n_words)
+        counts = np.diff(offs)
+        ids = np.repeat(
+            batch[id_col].to_numpy(zero_copy_only=False), counts)
+        # int64 bit-cast: the hash only needs uniqueness, and uint64 keys
+        # above 2^63 overflow the pandas roundtrip inside the join path
+        return pa.table({"w": pa.array(flat.view(np.int64)),
+                         id_col: pa.array(ids)})
+
+    rows = ds.map_batches(windows, batch_format="pyarrow").materialize()
+    per_doc = rows.groupby(id_col).aggregate(
+        _Count(alias_name="n_windows"))
+    dup_w = (rows.groupby("w").aggregate(_Count(alias_name="ndocs"))
+             .filter(expr=f"ndocs >= {int(min_docs)}")
+             .select_columns(["w"]))
+    def as_dup(t: pa.Table) -> pa.Table:
+        return pa.table({id_col: t[id_col],
+                         "n_dup": t["n_dup"].cast(pa.int64())})
+
+    def zeros(t: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: t[id_col],
+            "n_dup": pa.array(np.zeros(t.num_rows, np.int64)),
+        })
+
+    # map_batches passes normalize both union sides to ARROW blocks (the
+    # aggregate emits pandas blocks; union refuses mixed block types)
+    dup_counts = (hash_join(rows, dup_w, on={"w": "w"})
+                  .groupby(id_col).aggregate(_Count(alias_name="n_dup"))
+                  .map_batches(as_dup, batch_format="pyarrow"))
+    n_dup = (dup_counts.union(per_doc.map_batches(
+        zeros, batch_format="pyarrow"))
+        .groupby(id_col).aggregate(_Sum("n_dup",
+                                        alias_name="n_dup_windows")))
+    joined = hash_join(per_doc, n_dup, on={id_col: id_col})
+
+    def finish(t: pa.Table) -> pa.Table:
+        nw = t["n_windows"].to_numpy().astype(np.int64)
+        nd = t["n_dup_windows"].to_numpy().astype(np.int64)
+        return pa.table({
+            id_col: t[id_col],
+            "n_windows": pa.array(nw),
+            "n_dup_windows": pa.array(nd),
+            "dup_frac": pa.array(nd / nw, pa.float64()),
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
 def ngram_jaccard(text_a: str, text_b: str, k: int = 5) -> float:
     """Exact character-k-gram Jaccard — the verification kernel."""
     a = set() if len(text_a) < k else {text_a[i: i + k] for i in range(len(text_a) - k + 1)}

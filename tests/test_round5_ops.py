@@ -86,6 +86,46 @@ def test_word_minhash_pairs_match_bruteforce(ray_session):
     assert np.allclose(got["jaccard"], [j for _, _, j in want])
 
 
+def test_duplicate_spans_matches_bruteforce(ray_session):
+    """duplicate_spans == brute-force distinct-word-8-gram doc counts,
+    with planted boilerplate shared across docs."""
+    from deces_dataprep_ray.stages.dedup import duplicate_spans
+
+    rng = np.random.default_rng(17)
+    vocab = ["data", "spark", "row", "scan", "merge", "key", "agg", "hash"]
+    boiler = "subscribe to our newsletter for updates every single day"
+    texts = []
+    for i in range(30):
+        body = " ".join(rng.choice(vocab, 40))
+        texts.append(body + (" " + boiler if i % 3 == 0 else ""))
+    texts += ["short doc", ""]  # < 8 tokens → no windows → no row
+    ids = np.arange(len(texts), dtype=np.int64)
+    ds = rd.from_arrow(pa.table({"doc_id": ids, "text": texts}))
+    got = duplicate_spans(ds, n_words=8, min_docs=2).to_pandas()
+    got = got.sort_values("doc_id").reset_index(drop=True)
+
+    def grams(t):
+        w = t.split()
+        return {tuple(w[i:i + 8]) for i in range(len(w) - 7)}
+
+    gs = [grams(t) for t in texts]
+    from collections import Counter
+    doc_count = Counter(g for s in gs for g in s)
+    want = []
+    for i, s in enumerate(gs):
+        if not s:
+            continue
+        nd = sum(1 for g in s if doc_count[g] >= 2)
+        want.append((i, len(s), nd, nd / len(s)))
+    assert list(got["doc_id"]) == [w[0] for w in want]
+    assert list(got["n_windows"]) == [w[1] for w in want]
+    assert list(got["n_dup_windows"]) == [w[2] for w in want]
+    assert np.allclose(got["dup_frac"], [w[3] for w in want])
+    # boilerplate docs are flagged, clean docs are not
+    flagged = set(got[got["n_dup_windows"] > 0]["doc_id"])
+    assert {i for i in range(30) if i % 3 == 0} <= flagged
+
+
 # ---------------------------------------------------------------------------
 # banded embedding LSH
 # ---------------------------------------------------------------------------
