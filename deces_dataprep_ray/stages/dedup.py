@@ -1,24 +1,33 @@
-"""Deduplication at scale: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+"""Deduplication at scale: exact, MinHash+LSH (char & word shingles),
+SimHash, n-gram Jaccard, banded embedding-cosine, duplicated spans.
 
 Shapes (all Ray-Data-first, no driver-side row loops over the corpus):
 
-- exact: vectorized content hash in map_batches → groupby(hash) →
-  map_groups(keep min id). The hash column (16 bytes) shuffles, not the text.
-- MinHash-LSH: shingle → k minhashes per doc (one vectorized pass) → explode
-  to (band_key, doc_id, signature) rows → groupby(band) → candidate pairs →
-  signature-estimated Jaccard verify inside the group. Band rows are tiny;
-  the shuffle volume is docs × bands, independent of text size.
+- exact: vectorized content hash in map_batches → NATIVE
+  ``groupby(hash).aggregate(Min, Count)``. The hash column (16 bytes)
+  shuffles, not the text.
+- MinHash-LSH: shingle → k minhashes per doc (one vectorized pass) →
+  explode to (band_key, doc_id, signature) rows → groupby a 1024-way
+  SHARD of the key space (never the near-unique key itself — see
+  ``_shard_rows``) → verify runs of equal band_key inside each shard.
+  Band rows are tiny; the shuffle volume is docs × bands, independent of
+  text size.
 - SimHash: 64-bit weighted-token hash; near-dups = hamming distance ≤ t,
   found by bucketing on 4 x 16-bit chunks (t ≤ 3 guarantees a shared chunk).
-- n-gram Jaccard: LSH proposes candidates from signature rows ONLY (no
-  shingle arrays enter the shuffle); the exact character-k-gram Jaccard runs
-  in a second, candidate-bounded pass that re-shingles just the candidate
-  docs and verifies pairs against a broadcast shingle map.
+- n-gram Jaccard (char or word shingles): LSH proposes candidates from
+  signature rows ONLY (no shingle arrays enter the shuffle); the exact
+  shingle-set Jaccard runs in a second, candidate-bounded pass that
+  re-shingles just the candidate docs.
+- banded embedding LSH: num_bands × bits_per_band hyperplane tables with a
+  documented candidate-miss bound; exact cosine verifies in-bucket.
+- duplicated spans: per-doc-distinct word-window hashes → native doc
+  counts → hash-join back → per-doc boilerplate fraction.
 
 At 10^12 docs: every stage is a map_batches + one groupby on a small-row
 table; head buckets (boilerplate shingles) are bounded by ``max_bucket`` with
 a logged drop count — pass a ``DropCounter`` actor handle as ``drop_counter``
-to collect the exact number of dropped candidates across all workers.
+to collect the exact number of dropped candidates across all workers, and
+size ``verify_shards`` so one shard fits a worker (``_shard_rows``).
 """
 
 from __future__ import annotations
@@ -67,10 +76,17 @@ class DropCounter:
 _VERIFY_SHARDS = 1024
 
 
-def _shard_rows(t: pa.Table, key: str = "bucket") -> pa.Table:
+def _shard_rows(t: pa.Table, key: str = "bucket",
+                n_shards: int = _VERIFY_SHARDS) -> pa.Table:
+    """A map_groups group is ONE WHOLE SHARD, so size ``n_shards`` to the
+    data: shard rows ≈ docs × bands / n_shards must fit a worker's heap
+    (the 1024 default covers the test/bench corpora; a 10^12-doc run
+    passes ``verify_shards`` ≈ rows / 10^6 through the dedup entry
+    points). Hash buckets spread uniformly, so any count works — it is a
+    memory knob, not a correctness one."""
     k = t[key].combine_chunks().to_numpy(zero_copy_only=False)
     return t.append_column(
-        "shard", pa.array((k % np.uint64(_VERIFY_SHARDS)).astype(np.int64)))
+        "shard", pa.array((k % np.uint64(n_shards)).astype(np.int64)))
 
 
 def _runs_ge2(keys: np.ndarray):
@@ -443,6 +459,7 @@ def minhash_lsh_duplicates(
     drop_counter=None,
     shingle_mode: str = "char",
     n_words: int = 3,
+    verify_shards: int = _VERIFY_SHARDS,
 ) -> rd.Dataset:
     """Near-duplicate pairs (id_a < id_b, signature-estimated jaccard ≥
     threshold).
@@ -501,7 +518,9 @@ def minhash_lsh_duplicates(
                     out_j.extend(eq[hit])
         return pd.DataFrame({"id_a": out_a, "id_b": out_b, "jaccard": out_j})
 
-    pairs = (bands.map_batches(_shard_rows, fn_kwargs=dict(key="band_key"),
+    pairs = (bands.map_batches(_shard_rows,
+                               fn_kwargs=dict(key="band_key",
+                                              n_shards=verify_shards),
                                batch_format="pyarrow")
              .groupby("shard").map_groups(verify_shard,
                                           batch_format="pandas"))
@@ -586,6 +605,7 @@ def simhash_duplicates(
     concurrency: int | tuple[int, int] = (1, 4),
     max_bucket: int = 5000,
     drop_counter=None,
+    verify_shards: int = _VERIFY_SHARDS,
 ) -> rd.Dataset:
     """Near-dup pairs with hamming(simhash) ≤ max_hamming (≤ 3): bucket by
     each of the 4 16-bit chunks — any pair within distance 3 shares ≥1 chunk
@@ -641,7 +661,9 @@ def simhash_duplicates(
                     out_d.extend(d[hit].astype(int))
         return pd.DataFrame({"id_a": out_a, "id_b": out_b, "hamming": out_d})
 
-    pairs = (buckets.map_batches(_shard_rows, batch_format="pyarrow")
+    pairs = (buckets.map_batches(_shard_rows,
+                                 fn_kwargs=dict(n_shards=verify_shards),
+                                 batch_format="pyarrow")
              .groupby("shard").map_groups(verify_shard,
                                           batch_format="pandas"))
     return _unique_pairs(pairs, "hamming")
@@ -905,6 +927,7 @@ def embedding_near_duplicates(
     max_bucket: int = 2000,
     concurrency: int | tuple[int, int] = (1, 4),
     drop_counter=None,
+    verify_shards: int = _VERIFY_SHARDS,
 ) -> rd.Dataset:
     """Embedding-cosine near-dup pairs: random-hyperplane LSH buckets the
     vectors (each vector also probes its 1-bit-neighbor buckets so
@@ -959,7 +982,9 @@ def embedding_near_duplicates(
                 out["cosine"].extend(sims[ii, jj])
         return pd.DataFrame(out)
 
-    pairs = (bucketed.map_batches(_shard_rows, batch_format="pyarrow")
+    pairs = (bucketed.map_batches(_shard_rows,
+                                  fn_kwargs=dict(n_shards=verify_shards),
+                                  batch_format="pyarrow")
              .groupby("shard").map_groups(verify_shard,
                                           batch_format="pandas"))
     return _unique_pairs(pairs, "cosine")
@@ -1024,6 +1049,7 @@ def embedding_near_duplicates_banded(
     max_bucket: int = 4000,
     concurrency: int | tuple[int, int] = (1, 4),
     drop_counter=None,
+    verify_shards: int = _VERIFY_SHARDS,
 ) -> rd.Dataset:
     """Embedding-cosine near-dup pairs with a CANDIDATE-RECALL BOUND tight
     enough to SQL-check against exact all-pairs cosine: banded
@@ -1087,7 +1113,9 @@ def embedding_near_duplicates_banded(
                 out["cosine"].extend(sims[ii, jj])
         return pd.DataFrame(out)
 
-    pairs = (bucketed.map_batches(_shard_rows, batch_format="pyarrow")
+    pairs = (bucketed.map_batches(_shard_rows,
+                                  fn_kwargs=dict(n_shards=verify_shards),
+                                  batch_format="pyarrow")
              .groupby("shard").map_groups(verify_shard,
                                           batch_format="pandas"))
     return _unique_pairs(pairs, "cosine")
