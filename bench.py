@@ -280,6 +280,9 @@ def run_bench(sf_dir: str, num_cpus: int, headline_only: bool) -> dict:
             ("langid", dq.q_langid),
             ("fingerprint", dq.q_fingerprint),
             ("hash_split", dq.q_hash_split),
+            # round-5 ops: boilerplate spans + media decode features
+            ("dup_spans", dq.q_dup_spans),
+            ("media_features", dq.q_media_features),
         ]:
             t = time.time()
             fn(sf_dir)
