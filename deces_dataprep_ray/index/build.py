@@ -55,6 +55,9 @@ from ray.data.aggregate import Sum
 
 from ..functions.analysis import analyze_batch
 from ..functions.codecs import (
+    binary_column_from,
+    binary_column_view,
+    decode_positions,
     encode_positions,
     encode_postings_blocks,
     vb_encode,
@@ -533,17 +536,32 @@ class EmitPartials:
             ),
         }
         if with_pos:
-            # gather each reordered posting's variable-length position slice
+            # gather each reordered posting's variable-length position
+            # slice, then ship it VARBYTE-DELTA-encoded (reset at every
+            # posting start — the same stream shape the bucket files
+            # store): positions are small ints, so this genuinely
+            # compresses the exchange ~2.5-3x (unlike doc ids, whose
+            # full-range hashes made delta+varbyte a measured LOSS —
+            # BASELINE.md round-5; they stay raw u64). The decode is the
+            # batched decode_positions the reader already uses.
             l_o = pos_len[order]
             s_o = pos_start[order]
             ends = np.cumsum(l_o)
             total = int(ends[-1]) if len(ends) else 0
             idx = (np.repeat(s_o, l_o)
                    + np.arange(total) - np.repeat(ends - l_o, l_o))
+            flat_pp = flat_pos[idx].astype(np.uint64)
+            d_pos = flat_pp.copy()
+            if total:
+                d_pos[1:] -= flat_pp[:-1]
+                p_starts_v = (ends - l_o).astype(np.int64)
+                d_pos[p_starts_v] = flat_pp[p_starts_v]
+            nbp = vb_lengths(d_pos)
+            cump = np.zeros(len(nbp) + 1, np.int64)
+            np.cumsum(nbp, out=cump[1:])
             prefix = np.concatenate(([0], ends)).astype(np.int64)
-            cols["poss"] = pa.LargeListArray.from_arrays(
-                pa.array(prefix[offsets], pa.int64()),
-                pa.array(flat_pos[idx], pa.uint32()))
+            cols["pos_vb"] = binary_column_from(
+                vb_encode(d_pos, nbp), cump[prefix[offsets]])
         return pa.table(cols)
 
 
@@ -558,8 +576,7 @@ def _empty_partials(with_pos: bool = False) -> pa.Table:
         "dls": pa.LargeListArray.from_arrays(off, pa.array([], pa.uint16())),
     }
     if with_pos:
-        cols["poss"] = pa.LargeListArray.from_arrays(
-            off, pa.array([], pa.uint32()))
+        cols["pos_vb"] = binary_column_from(b"", np.zeros(1, np.int64))
     return pa.table(cols)
 
 
@@ -630,12 +647,21 @@ def build_bucket(
     flat_dls = tbl["dls"].combine_chunks().flatten().to_numpy().astype(np.uint32)
     lens = pc.list_value_length(docs_col).to_numpy().astype(np.int64)
 
-    with_pos = "poss" in tbl.column_names
+    # positions arrive either varbyte-delta-encoded (the shuffle layout,
+    # "pos_vb" — batched decode below) or as plain u32 lists ("poss", the
+    # layout compaction's decoded partials use)
+    with_pos = ("poss" in tbl.column_names
+                or "pos_vb" in tbl.column_names)
     if with_pos:
-        flat_pos_all = (tbl["poss"].combine_chunks().flatten()
-                        .to_numpy(zero_copy_only=False).astype(np.uint32))
         pos_len = np.minimum(flat_tfs, 255).astype(np.int64)
         pos_start = np.cumsum(pos_len) - pos_len
+        if "pos_vb" in tbl.column_names:
+            pos_data, _ = binary_column_view(tbl["pos_vb"])
+            flat_pos_all = decode_positions(pos_data.tobytes(), pos_len)
+        else:
+            flat_pos_all = (tbl["poss"].combine_chunks().flatten()
+                            .to_numpy(zero_copy_only=False)
+                            .astype(np.uint32))
 
     segs = tbl["seg"].to_numpy()
     # factorize (term, seg) at row level, then explode to postings —
