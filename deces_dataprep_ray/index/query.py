@@ -1265,7 +1265,11 @@ def _qs_eval(node, reader: IndexReader, leaves: list) -> np.ndarray:
         surv = search_phrase(reader, node[1], k=max(int(reader.n_docs), 1))
         return np.unique(np.asarray([d for d, _ in surv], np.uint64))
     if kind == "not":
-        raise ValueError("negation is only valid inside a bool level")
+        # a NOT outside a bool-level operand position (lone "-x" query,
+        # "-(-x)") has no positive set to subtract from — frozen: matches
+        # nothing, like a bool level with only negative operands (and like
+        # the flat path, where a pure-must_not query returns [])
+        return np.empty(0, np.uint64)
     pos_sets, neg_sets = [], []
     for op in node[1]:
         if op[0] == "not":

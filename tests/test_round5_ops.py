@@ -404,6 +404,43 @@ def test_query_string_extended_boolean(qs_corpus):
     assert not _qs_is_extended("lowercase and or terms")
 
 
+def test_query_string_parser_properties(qs_corpus):
+    """Parser robustness + flat/extended agreement:
+    - random token soups (incl. unbalanced parens, stray AND/OR/-, quotes)
+      never crash the parser or the search;
+    - for pure-OR queries (bare terms only), the extended evaluator
+      returns exactly the flat path's results."""
+    from deces_dataprep_ray.index.query import (
+        _qs_eval,
+        _qs_score,
+        parse_query_string_ast,
+        search_query_string,
+    )
+
+    df, idx = qs_corpus
+    r = IndexReader(idx)
+    rng = np.random.default_rng(23)
+    soup = ["data", "spark", "(", ")", "AND", "OR", "-", '"data spark"',
+            "-key", "window", '""', "-(", "scan"]
+    for _ in range(60):
+        q = " ".join(rng.choice(soup, rng.integers(1, 9)))
+        ast = parse_query_string_ast(q)     # never raises
+        assert isinstance(ast, tuple)
+        res = search_query_string(r, q, k=5) if any(
+            c in q for c in "()") or "AND" in q or "OR" in q else None
+        if res is not None:
+            for d, s in res:
+                assert s > 0.0
+
+    for q in ("data", "data spark", "window scan merge key"):
+        flat = search_query_string(r, q, k=10)
+        leaves: list = []
+        ids = _qs_eval(parse_query_string_ast(q), r, leaves)
+        ext = _qs_score(r, leaves, ids, 10)
+        assert [(d, round(s, 12)) for d, s in ext] == \
+            [(d, round(s, 12)) for d, s in flat]
+
+
 def test_query_string_field_atom(ts_index):
     """field:term matches and scores with the field's own stats."""
     from deces_dataprep_ray.index.fielded import search_fields
@@ -497,7 +534,9 @@ def test_terms_metric_agg_size_cap_bounds_and_matches(hicard_index):
     df, idx = hicard_index
     r = IndexReader(idx)
     full = {t[0]: t for t in terms_metric_agg(r, "key", "val")}
-    capped = terms_metric_agg(r, "key", "val", size=10)
+    # shard_size >= distinct keys → no per-batch pruning: the distributed
+    # top-size selection must be EXACT
+    capped = terms_metric_agg(r, "key", "val", size=10, shard_size=4000)
     assert len(capped) == 10  # driver rows bounded by size
     want_keys = sorted(full, key=lambda k: (-full[k][1], k))[:10]
     assert [t[0] for t in capped] == want_keys
@@ -505,6 +544,15 @@ def test_terms_metric_agg_size_cap_bounds_and_matches(hicard_index):
         f = full[t[0]]
         assert t[1] == f[1] and t[2] == pytest.approx(f[2])
         assert t[3] == pytest.approx(f[3])
+    # default shard_size (ES's size*1.5+10 heuristic) is the per-batch
+    # APPROXIMATION ES makes: bounded output, counts never exceed the true
+    # count, and the heavy head keys are exact
+    approx = terms_metric_agg(r, "key", "val", size=10)
+    assert len(approx) == 10
+    for t in approx:
+        assert t[1] <= full[t[0]][1]
+    assert [t[0] for t in approx[:3]] == want_keys[:3]
+    assert [t[1] for t in approx[:3]] == [full[k][1] for k in want_keys[:3]]
 
 
 def test_terms_terms_agg_size_cap(hicard_index):
