@@ -1128,6 +1128,7 @@ def duplicate_spans(
     *,
     n_words: int = 8,
     min_docs: int = 2,
+    broadcast_max_hashes: int = 2_000_000,
 ) -> rd.Dataset:
     """Cross-document duplicated-SPAN detection — the boilerplate finder
     (the window-level analogue of pairwise near-dup; the "duplicate
@@ -1140,17 +1141,18 @@ def duplicate_spans(
     than ``n_words`` tokens have no windows and emit no row (frozen; the
     SQL oracle excludes them identically).
 
-    Shape (all native Ray Data, nothing driver-side): one vectorized
-    word-shingle pass → per-doc DISTINCT (window_hash, doc) rows →
-    ``groupby(hash)`` doc counts (rows are per-doc unique, so count ==
-    distinct docs) → hash-join the ≥min_docs hashes back → per-doc counts
-    with a union-zero fill. The exchange carries 16-byte (hash, doc) rows
-    only; the row table is materialized once and reused by its three
-    consumers."""
+    Shape (nothing corpus-sized driver-side): one vectorized word-shingle
+    pass → per-doc DISTINCT (window_hash, doc) rows → ``groupby(hash)``
+    doc counts (rows are per-doc unique, so count == distinct docs) →
+    mark duplicated rows — BROADCAST ``isin`` when the dup-hash set fits
+    ``broadcast_max_hashes`` (ray.put once, one numpy probe per batch —
+    the common case: dup hashes ≪ windows), a partitioned
+    :func:`..stages.join.hash_join` semi-join above it (boilerplate-heavy
+    crawls) — → ONE ``groupby(doc)`` over per-batch (n_windows, n_dup)
+    partials. The exchange carries 16-byte (hash, doc) rows only; the row
+    table is materialized once and reused by its consumers."""
     from ray.data.aggregate import Count as _Count
     from ray.data.aggregate import Sum as _Sum
-
-    from .join import hash_join
 
     def windows(batch: pa.Table) -> pa.Table:
         texts = ["" if t is None else t for t in batch[text_col].to_pylist()]
@@ -1159,40 +1161,64 @@ def duplicate_spans(
         ids = np.repeat(
             batch[id_col].to_numpy(zero_copy_only=False), counts)
         # int64 bit-cast: the hash only needs uniqueness, and uint64 keys
-        # above 2^63 overflow the pandas roundtrip inside the join path
+        # above 2^63 overflow the pandas roundtrip inside the join
         return pa.table({"w": pa.array(flat.view(np.int64)),
                          id_col: pa.array(ids)})
 
     rows = ds.map_batches(windows, batch_format="pyarrow").materialize()
-    per_doc = rows.groupby(id_col).aggregate(
-        _Count(alias_name="n_windows"))
     dup_w = (rows.groupby("w").aggregate(_Count(alias_name="ndocs"))
              .filter(expr=f"ndocs >= {int(min_docs)}")
-             .select_columns(["w"]))
-    def as_dup(t: pa.Table) -> pa.Table:
-        return pa.table({id_col: t[id_col],
-                         "n_dup": t["n_dup"].cast(pa.int64())})
+             .select_columns(["w"]).materialize())
 
-    def zeros(t: pa.Table) -> pa.Table:
-        return pa.table({
-            id_col: t[id_col],
-            "n_dup": pa.array(np.zeros(t.num_rows, np.int64)),
-        })
+    if dup_w.count() <= broadcast_max_hashes:
+        parts = [b["w"].combine_chunks().to_numpy(zero_copy_only=False)
+                 for b in dup_w.iter_batches(batch_format="pyarrow")]
+        ws_ref = ray.put(np.sort(np.concatenate(parts)) if parts
+                         else np.empty(0, np.int64))
 
-    # map_batches passes normalize both union sides to ARROW blocks (the
-    # aggregate emits pandas blocks; union refuses mixed block types)
-    dup_counts = (hash_join(rows, dup_w, on={"w": "w"})
-                  .groupby(id_col).aggregate(_Count(alias_name="n_dup"))
-                  .map_batches(as_dup, batch_format="pyarrow"))
-    n_dup = (dup_counts.union(per_doc.map_batches(
-        zeros, batch_format="pyarrow"))
-        .groupby(id_col).aggregate(_Sum("n_dup",
-                                        alias_name="n_dup_windows")))
-    joined = hash_join(per_doc, n_dup, on={id_col: id_col})
+        def partial(t: pa.Table) -> pa.Table:
+            ws = ray.get(ws_ref)
+            ids = t[id_col].to_numpy(zero_copy_only=False)
+            hit = np.isin(t["w"].to_numpy(zero_copy_only=False), ws)
+            # per-batch combine: one (doc, n_windows, n_dup) row per doc
+            uq, inv = np.unique(ids, return_inverse=True)
+            nw = np.bincount(inv, minlength=len(uq)).astype(np.int64)
+            nd = np.bincount(inv, weights=hit.astype(np.float64),
+                             minlength=len(uq)).astype(np.int64)
+            return pa.table({id_col: pa.array(uq),
+                             "nw": pa.array(nw), "nd": pa.array(nd)})
+
+        partials = rows.map_batches(partial, batch_format="pyarrow")
+    else:
+        # boilerplate-heavy corpus: distributed semi-join marks dup rows;
+        # dup rows emit (0, 1) partials on top of every row's (1, 0)
+        from .join import hash_join
+
+        def base(t: pa.Table) -> pa.Table:
+            return pa.table({
+                id_col: t[id_col],
+                "nw": pa.array(np.ones(t.num_rows, np.int64)),
+                "nd": pa.array(np.zeros(t.num_rows, np.int64)),
+            })
+
+        def dup(t: pa.Table) -> pa.Table:
+            return pa.table({
+                id_col: t[id_col],
+                "nw": pa.array(np.zeros(t.num_rows, np.int64)),
+                "nd": pa.array(np.ones(t.num_rows, np.int64)),
+            })
+
+        partials = rows.map_batches(base, batch_format="pyarrow").union(
+            hash_join(rows, dup_w, on={"w": "w"}).map_batches(
+                dup, batch_format="pyarrow"))
+
+    merged = partials.groupby(id_col).aggregate(
+        _Sum("nw", alias_name="n_windows"),
+        _Sum("nd", alias_name="n_dup_windows"))
 
     def finish(t: pa.Table) -> pa.Table:
-        nw = t["n_windows"].to_numpy().astype(np.int64)
-        nd = t["n_dup_windows"].to_numpy().astype(np.int64)
+        nw = t["n_windows"].combine_chunks().cast(pa.int64()).to_numpy()
+        nd = t["n_dup_windows"].combine_chunks().cast(pa.int64()).to_numpy()
         return pa.table({
             id_col: t[id_col],
             "n_windows": pa.array(nw),
@@ -1200,7 +1226,7 @@ def duplicate_spans(
             "dup_frac": pa.array(nd / nw, pa.float64()),
         })
 
-    return joined.map_batches(finish, batch_format="pyarrow")
+    return merged.map_batches(finish, batch_format="pyarrow")
 
 
 def ngram_jaccard(text_a: str, text_b: str, k: int = 5) -> float:
